@@ -1,0 +1,27 @@
+"""rollout_bo_tpu — a TPU-native non-myopic Bayesian-optimization engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+DarianNwankwo/Rollout-Bayesian-Optimization (pure Julia, serial CPU):
+
+- GP (RBF-kernel) surrogates with fixed-capacity buffers and incremental
+  (rank-1 Schur-complement) Cholesky updates, expressed as pure pytree
+  transformations (reference: radial_basis_surrogates.jl:30-222).
+- Rollout (non-myopic) acquisition functions: h steps of myopic BO on
+  fantasized GP samples, scored by improvement over the incumbent and
+  averaged over quasi-MC / Gauss-Hermite samples (reference: rollout.jl).
+- Adjoint-mode gradients of the rollout policy, obtained here with two
+  custom_vjp rules (sample-path draw semantics + implicit-function-theorem
+  on the inner argmax) and jax.grad through a lax.scan, instead of the
+  reference's hand-rolled back-substitution (rollout.jl:126-277).
+- Stochastic gradient ascent (SGA/Adam) of the rollout acquisition with
+  the Mahsereci et al. early-stopping statistic (utils.jl:114-123).
+- Myopic baselines (EI/POI/LCB/random) and the synthetic test-function
+  suite (testfns.jl).
+
+Parallelism: MC trajectories x multistarts x SGA restarts are sharded over
+a jax.sharding.Mesh; cross-device reductions ride XLA collectives.
+"""
+
+from rollout_bo_tpu import ops, models, rollout, parallel, utils
+
+__version__ = "0.1.0"

@@ -1,0 +1,116 @@
+"""Base acquisition decision rules g(mu, sigma, theta, fmini) and partials.
+
+TPU-native re-design of `/root/reference/decision_rules.jl`: each rule is a
+pure scalar function; every partial the reference derives with ForwardDiff
+(decision_rules.jl:23-34) is derived here with `jax.grad` at trace time.
+Rules are static (hashable) objects closed over by jitted computations.
+
+All rules are *maximized* by the inner solver. sigma guards are expressed
+as NaN-free `jnp.where` pairs so gradients stay finite at sigma -> 0
+(reference guards: decision_rules.jl:88-90, 104-106).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.stats import norm
+
+__all__ = ["DecisionRule", "EI", "POI", "LCB", "RandomAcquisition", "RULES"]
+
+
+def _ei(mu, sigma, theta, fmini, sigma_tol):
+    # reference: decision_rules.jl:84-99
+    s = jnp.maximum(sigma, sigma_tol)
+    improvement = fmini - mu - theta[0]
+    z = improvement / s
+    val = improvement * norm.cdf(z) + s * norm.pdf(z)
+    return jnp.where(sigma < sigma_tol, 0.0, val)
+
+
+def _poi(mu, sigma, theta, fmini, sigma_tol):
+    # reference: decision_rules.jl:101-115
+    s = jnp.maximum(sigma, sigma_tol)
+    z = (fmini - mu - theta[0]) / s
+    return jnp.where(sigma < sigma_tol, 0.0, norm.cdf(z))
+
+
+def _lcb(mu, sigma, theta, fmini, sigma_tol):
+    # maximization form of the lower confidence bound:
+    # reference decision_rules.jl:117-127
+    return theta[0] * sigma - mu
+
+
+def _random(mu, sigma, theta, fmini, sigma_tol):
+    # reference: decision_rules.jl:129-135 (dispatched by name in the solver)
+    return jnp.zeros_like(mu)
+
+
+_RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random}
+
+
+@dataclasses.dataclass(frozen=True)
+class DecisionRule:
+    """A named acquisition rule; static/hashable, safe to close over in jit.
+
+    Mirrors the reference `DecisionRule` struct (decision_rules.jl:4-34);
+    the 8 stored partial closures become `jax.grad` calls.
+    """
+
+    name: str = "EI"
+    sigma_tol: float = 1e-8
+
+    # -- value ------------------------------------------------------------
+    def __call__(self, mu, sigma, theta, fmini):
+        return _RULE_FNS[self.name](mu, sigma, theta, fmini, self.sigma_tol)
+
+    # -- first partials (reference decision_rules.jl:24,26,28) ------------
+    def dg_dmu(self, mu, sigma, theta, fmini):
+        return jax.grad(self.__call__, argnums=0)(mu, sigma, theta, fmini)
+
+    def dg_dsigma(self, mu, sigma, theta, fmini):
+        return jax.grad(self.__call__, argnums=1)(mu, sigma, theta, fmini)
+
+    def dg_dtheta(self, mu, sigma, theta, fmini):
+        return jax.grad(self.__call__, argnums=2)(mu, sigma, theta, fmini)
+
+    # -- second partials (decision_rules.jl:25,27,29) ----------------------
+    def d2g_dmu(self, mu, sigma, theta, fmini):
+        return jax.grad(jax.grad(self.__call__, argnums=0), argnums=0)(mu, sigma, theta, fmini)
+
+    def d2g_dsigma(self, mu, sigma, theta, fmini):
+        return jax.grad(jax.grad(self.__call__, argnums=1), argnums=1)(mu, sigma, theta, fmini)
+
+    def d2g_dtheta(self, mu, sigma, theta, fmini):
+        return jax.hessian(self.__call__, argnums=2)(mu, sigma, theta, fmini)
+
+    # -- mixed partials (decision_rules.jl:30-31 + exact mu/sigma cross) ---
+    def d2g_dmudsigma(self, mu, sigma, theta, fmini):
+        return jax.grad(jax.grad(self.__call__, argnums=0), argnums=1)(mu, sigma, theta, fmini)
+
+    def d2g_dmudtheta(self, mu, sigma, theta, fmini):
+        return jax.jacfwd(jax.grad(self.__call__, argnums=0), argnums=2)(mu, sigma, theta, fmini)
+
+    def d2g_dsigmadtheta(self, mu, sigma, theta, fmini):
+        return jax.jacfwd(jax.grad(self.__call__, argnums=1), argnums=2)(mu, sigma, theta, fmini)
+
+
+def EI(sigma_tol: float = 1e-8) -> DecisionRule:
+    return DecisionRule("EI", sigma_tol)
+
+
+def POI(sigma_tol: float = 1e-8) -> DecisionRule:
+    return DecisionRule("POI", sigma_tol)
+
+
+def LCB() -> DecisionRule:
+    return DecisionRule("LCB")
+
+
+def RandomAcquisition() -> DecisionRule:
+    return DecisionRule("Random")
+
+
+RULES = {"EI": EI, "POI": POI, "LCB": LCB, "Random": RandomAcquisition}

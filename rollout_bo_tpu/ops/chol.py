@@ -1,0 +1,91 @@
+"""Masked fixed-capacity Cholesky factorizations and rank-1 row appends.
+
+The reference keeps fixed-capacity (capacity x capacity) buffers with an
+"active count" and performs rank-1 Schur-complement updates in place
+(radial_basis_surrogates.jl:77-118, 186-204). That layout is exactly XLA's
+static-shape requirement; here the same math is expressed as pure functions
+on padded arrays with an **identity-padding invariant**:
+
+    L[i, j] = delta_ij  for i >= n  (inactive rows/cols),
+
+so that triangular solves against the full padded factor with zero-padded
+right-hand sides return exactly the active-block solution with zero
+padding — no masking inside the solve, and everything batches cleanly
+under vmap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = [
+    "masked_cholesky",
+    "cho_solve_padded",
+    "solve_lower",
+    "solve_upper",
+    "chol_append_row",
+    "active_mask",
+]
+
+
+def active_mask(capacity: int, n, dtype=bool):
+    """Boolean mask of length `capacity` with the first `n` entries True."""
+    return (jnp.arange(capacity) < n).astype(dtype)
+
+
+def masked_cholesky(K: jax.Array, n) -> jax.Array:
+    """Cholesky of the active n x n block of K, identity in the padding.
+
+    K: (cap, cap) full padded covariance (values outside the active block
+    are ignored). Returns L (cap, cap) lower-triangular with L[i,i] = 1 for
+    i >= n. Mirrors the reference's initial factorization
+    (radial_basis_surrogates.jl:93-98) for any active count.
+    """
+    cap = K.shape[0]
+    m = active_mask(cap, n)
+    both = jnp.outer(m, m)
+    eye = jnp.eye(cap, dtype=K.dtype)
+    Kp = jnp.where(both, K, eye)
+    return jnp.linalg.cholesky(Kp)
+
+
+def solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """L z = b with identity-padded L and zero-padded b (returns padded z)."""
+    return solve_triangular(L, b, lower=True)
+
+
+def solve_upper(L: jax.Array, b: jax.Array) -> jax.Array:
+    """L^T z = b with identity-padded L and zero-padded b."""
+    return solve_triangular(L, b, lower=True, trans=1)
+
+
+def cho_solve_padded(L: jax.Array, b: jax.Array) -> jax.Array:
+    """(L L^T)^{-1} b for identity-padded L, zero-padded b."""
+    return solve_upper(L, solve_lower(L, b))
+
+
+def chol_append_row(L: jax.Array, kvec: jax.Array, kdiag, n) -> jax.Array:
+    """Append one observation to an identity-padded Cholesky factor.
+
+    Given L = chol(K_active) (identity-padded, active count n), the new
+    covariance column `kvec` (cap, zero beyond the first n entries) and the
+    new diagonal entry `kdiag` (= psi(0) + noise), returns the factor with
+    active count n+1:
+
+        l21 = L^{-1} kvec_active,   l22 = sqrt(kdiag - ||l21||^2)
+
+    This is the reference's Schur-complement update
+    (radial_basis_surrogates.jl:186-204) as a pure function.
+    """
+    cap = L.shape[0]
+    m = active_mask(cap, n, dtype=L.dtype)
+    b = kvec * m
+    l21 = solve_lower(L, b)  # zero beyond n by the padding invariant
+    l22 = jnp.sqrt(jnp.maximum(kdiag - jnp.dot(l21, l21), 1e-12))
+
+    cols = jnp.arange(cap)
+    new_row = jnp.where(cols < n, l21, jnp.where(cols == n, l22, 0.0))
+    rows = cols[:, None]
+    return jnp.where(rows == n, new_row[None, :], L)
