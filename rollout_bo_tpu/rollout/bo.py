@@ -19,14 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from rollout_bo_tpu.models import surrogate as sg
-from rollout_bo_tpu.models.decision_rules import DecisionRule
+from rollout_bo_tpu.models.decision_rules import EI, DecisionRule
 from rollout_bo_tpu.models.testfns import TestFunction
 from rollout_bo_tpu.ops import kernels as kern
 from rollout_bo_tpu.ops import qmc
 from rollout_bo_tpu.rollout import solvers
 from rollout_bo_tpu.utils import metrics
 
-__all__ = ["MyopicBOResult", "run_myopic_bo"]
+__all__ = ["MyopicBOResult", "run_myopic_bo", "run_nonmyopic_bo"]
 
 
 @dataclass
@@ -121,6 +121,140 @@ def run_myopic_bo(
 
         state, ynext = observe_step(state, xnext)
         if (b + 1) % mle_every == 0 and rule.name != "Random":
+            state = mle_step(state)
+        X_all.append(np.asarray(xnext))
+        y_all.append(float(ynext))
+        min_obs[b] = min(y_all)
+
+    return MyopicBOResult(
+        X=np.stack(X_all),
+        y=np.asarray(y_all),
+        gaps=gaps,
+        simple_regrets=regrets,
+        minimum_observations=min_obs,
+        times=times,
+        state=state,
+    )
+
+
+def run_nonmyopic_bo(
+    testfn: TestFunction,
+    *,
+    horizon: int = 1,
+    mc_iters: int = 25,
+    budget: int = 15,
+    theta=(0.0,),
+    n_init: int = 5,
+    num_starts: int = 16,
+    num_restarts: int = 4,
+    sgd_iters: int = 25,
+    lr: float = 0.01,
+    seed: int = 1906,
+    kernel: kern.RBFKernel | None = None,
+    kernel_lbs=(0.1,),
+    kernel_ubs=(5.0,),
+    noise: float = 1e-6,
+    mle_every: int = 1,
+    solver_iterations: int = 12,
+    use_low_discrepancy: bool = True,
+    rule: DecisionRule | None = None,
+    draw_mode: str = "reparam",
+    dtype=None,
+    x_init: np.ndarray | None = None,
+    mesh=None,
+) -> MyopicBOResult:
+    """Non-myopic (rollout-EI) BO trial.
+
+    The intended full loop of the reference nonmyopic/adaptive drivers
+    (nonmyopic_bayesopt.jl CLI flags; adaptive_bayesopt.jl:479-526): per
+    BO iteration, SGA-ascend the h-step rollout acquisition from a batch
+    of candidate starts (each ascent iteration = mc_iters fantasized
+    trajectories with adjoint gradients under fixed QMC streams), take the
+    best restart, evaluate the true function there, rank-1-condition the
+    surrogate, and re-optimize kernel hyperparameters.
+
+    If `mesh` is given, restarts are sharded across its 'restarts' axis.
+    """
+    from rollout_bo_tpu.rollout import outer as outer_mod
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    rule = rule or EI()
+    kernel = kernel or kern.matern52()
+    lbs, ubs = testfn.lbs, testfn.ubs
+    d = testfn.dim
+    rng = np.random.default_rng(seed)
+
+    if x_init is None:
+        x_init = qmc.randsample(n_init, d, lbs, ubs, rng)
+    y_init = np.asarray(testfn.batch(x_init))
+
+    capacity = n_init + budget
+    state = sg.fit(kernel, x_init, y_init, capacity=capacity, noise=noise, dtype=dtype)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(num_starts, lbs, ubs), dt)
+    theta = jnp.asarray(theta, dt)
+    klbs = jnp.asarray(kernel_lbs, dt)
+    kubs = jnp.asarray(kernel_ubs, dt)
+    lbs_j = jnp.asarray(lbs, dt)
+    ubs_j = jnp.asarray(ubs, dt)
+
+    def make_rnstream():
+        if use_low_discrepancy:
+            z = qmc.gen_low_discrepancy_sequence(mc_iters, d, horizon + 1)
+        else:
+            z = rng.normal(size=(mc_iters, d + 1, horizon + 1))
+        return jnp.asarray(z, dt)
+
+    @jax.jit
+    def acquire(state: sg.SurrogateState, rnstream, restarts):
+        tp = TrajectoryParams(
+            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
+            rnstream=rnstream,
+        )
+        xs, vals = outer_mod.stochastic_solve_batch(
+            state, tp, rule, xstarts, restarts,
+            max_iters=sgd_iters, lr=lr, inner_iterations=solver_iterations,
+            draw_mode=draw_mode,
+        )
+        j = jnp.argmax(vals)
+        return xs[j], vals[j]
+
+    @jax.jit
+    def observe(state: sg.SurrogateState, xnext):
+        ynext = testfn.f(xnext)
+        return sg.condition(state, xnext, ynext), ynext
+
+    @jax.jit
+    def mle_step(state: sg.SurrogateState):
+        return sg.optimize_hypers(state, klbs, kubs)
+
+    true_minimum = testfn.fmin
+    initial_best = float(y_init.min())
+
+    gaps = np.zeros(budget)
+    regrets = np.zeros(budget)
+    min_obs = np.zeros(budget)
+    times = np.zeros(budget)
+    X_all = [np.asarray(x) for x in x_init]
+    y_all = list(map(float, y_init))
+
+    for b in range(budget):
+        restarts = jnp.asarray(qmc.generate_batch(num_restarts, lbs, ubs)[:num_restarts], dt)
+        rnstream = make_rnstream()
+        if mesh is not None:
+            from rollout_bo_tpu.parallel import mesh as mesh_mod
+            restarts = mesh_mod.shard_leading(restarts, mesh, "restarts")
+        t0 = time.perf_counter()
+        xnext, _ = acquire(state, rnstream, restarts)
+        xnext.block_until_ready()
+        times[b] = time.perf_counter() - t0
+
+        best = min(y_all)
+        gaps[b] = metrics.gap(initial_best, best, true_minimum)
+        regrets[b] = metrics.simple_regret(true_minimum, best)
+
+        state, ynext = observe(state, xnext)
+        if (b + 1) % mle_every == 0:
             state = mle_step(state)
         X_all.append(np.asarray(xnext))
         y_all.append(float(ynext))

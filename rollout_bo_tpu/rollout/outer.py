@@ -1,0 +1,148 @@
+"""Outer policy optimization: SGA/Adam on the rollout acquisition.
+
+TPU-native re-design of the reference outer layer
+(`/root/reference/optimizers.jl`, `utils.jl:174-306`): the 50-iteration
+SGA loop with the Mahsereci et al. early-stopping statistic becomes a
+jit-compiled `lax.while_loop`; multi-restart outer solves vmap over the
+batch of candidate starts (the intent of adaptive_bayesopt.jl:480,
+502-525), which is also the axis the parallel layer shards across
+devices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rollout_bo_tpu.models import surrogate as sg
+from rollout_bo_tpu.models.decision_rules import DecisionRule
+from rollout_bo_tpu.rollout import mc as mc_mod
+from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+__all__ = [
+    "AdamState",
+    "adam_init",
+    "adam_update",
+    "sga_update",
+    "eswavs",
+    "stochastic_solve",
+    "stochastic_solve_batch",
+]
+
+
+class AdamState(NamedTuple):
+    m: jax.Array
+    v: jax.Array
+    t: jax.Array
+
+
+def adam_init(x) -> AdamState:
+    return AdamState(jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros((), jnp.int32))
+
+
+def adam_update(state: AdamState, x, grad, *, lr=0.01, b1=0.9, b2=0.999, eps=1e-8):
+    """Adam ascent step (reference optimizers.jl:25-75)."""
+    t = state.t + 1
+    m = b1 * state.m + (1 - b1) * grad
+    v = b2 * state.v + (1 - b2) * grad * grad
+    tf = t.astype(x.dtype)
+    mhat = m / (1 - b1**tf)
+    vhat = v / (1 - b2**tf)
+    x_new = x + lr * mhat / (jnp.sqrt(vhat) + eps)
+    return AdamState(m, v, t), x_new
+
+
+def sga_update(x, grad, *, lr=0.01):
+    """Plain SGA ascent step (reference optimizers.jl:6-22)."""
+    return x + lr * grad
+
+
+def eswavs(grad, var_grad, sample_size):
+    """Early Stopping Without A Validation Set (Mahsereci et al.).
+
+    reference: utils.jl:114-123. True => stop.
+    """
+    dim = grad.shape[0]
+    ratio = jnp.sum(grad**2 / jnp.maximum(var_grad, 1e-300))
+    return (1.0 - (sample_size / dim) * ratio) > 0.0
+
+
+def stochastic_solve(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    start,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """SGA (Adam) ascent of the MC rollout acquisition from one start.
+
+    reference: stochastic_solve (utils.jl:235-265): 50 Adam iterations of
+    simulate -> eswavs early stop -> update, jitted here as one
+    lax.while_loop. Returns (x_final, last ExpectedTrajectoryOutput).
+    """
+    dt = state.X.dtype
+    start = jnp.asarray(start, dt)
+
+    def simulate(x0):
+        tpx = tp._replace(x0=x0)
+        return mc_mod.simulate_trajectory_mc(
+            state, tpx, rule, xstarts,
+            with_gradients=True, iterations=inner_iterations,
+            draw_mode=draw_mode,
+        )
+
+    def cond(carry):
+        x, opt, it, done = carry
+        return (~done) & (it < max_iters)
+
+    def body(carry):
+        x, opt, it, _ = carry
+        eto = simulate(x)
+        stop = eswavs(eto.grad_x, eto.std_grad_x**2, tp.mc_iters)
+        opt2, x2 = adam_update(opt, x, eto.grad_x, lr=lr)
+        x2 = jnp.clip(x2, tp.lbs, tp.ubs)
+        x = jnp.where(stop, x, x2)
+        return (x, opt2, it + 1, stop)
+
+    x, _, _, _ = jax.lax.while_loop(
+        cond, body, (start, adam_init(start), jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False))
+    )
+    return x, simulate(x)
+
+
+def stochastic_solve_batch(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """vmap of stochastic_solve over a batch of outer restarts.
+
+    Returns (xs (R, d), values (R,)): final points and their rollout
+    acquisition estimates — pick the argmax for the next BO sample
+    (adaptive_bayesopt.jl:502-525 intent).
+    """
+
+    def one(s):
+        x, eto = stochastic_solve(
+            state, tp, rule, xstarts, s,
+            max_iters=max_iters, lr=lr,
+            inner_iterations=inner_iterations, draw_mode=draw_mode,
+        )
+        return x, eto.mu
+
+    return jax.vmap(one)(jnp.asarray(starts, state.X.dtype))

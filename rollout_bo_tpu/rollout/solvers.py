@@ -35,12 +35,16 @@ _BACKTRACK_STEPS = 6  # trial step sizes 1, 1/2, ..., 1/2^5 (+ "stay put")
 
 
 def _clipped_newton_direction(g, H, ridge):
-    """Ascent direction from eigenvalue-clipped -H (modified Newton)."""
-    # maximization: want p with H p = -g where -H is made PD
+    """Ascent direction from saddle-free-clipped -H (modified Newton).
+
+    Eigenvalues of -H are replaced by max(|lambda|, ridge): in
+    positive-curvature regions this gives a |lambda|-scaled (bounded)
+    ascent step instead of the ~1/ridge blow-up of plain clipping.
+    """
     w, V = jnp.linalg.eigh(-H)
-    w = jnp.maximum(w, ridge)
+    w = jnp.maximum(jnp.abs(w), ridge)
     p = V @ ((V.T @ g) / w)
-    return p  # approximately (-H)^{-1} g, an ascent direction
+    return p
 
 
 def newton_solve_batch(
@@ -69,14 +73,30 @@ def newton_solve_batch(
     def value(x):
         return sg.acquisition(state, rule, x, theta)
 
+    boundary_tol = 1e-9 * scale
+
     def one_iteration(x, _):
         a, g, H = sg.acquisition_value_grad_hess(state, rule, x, theta)
-        p = _clipped_newton_direction(g, H, ridge)
+        # active-set reduction: coordinates pinned at a bound with the
+        # ascent gradient pointing outward are frozen, and the Newton
+        # system is solved on the free block only (otherwise the full
+        # Newton direction is polluted by the pinned coordinates' large
+        # outward gradients and the free coordinates stall).
+        act_lo = (x <= lbs + boundary_tol) & (g < 0.0)
+        act_hi = (x >= ubs - boundary_tol) & (g > 0.0)
+        free = (~(act_lo | act_hi)).astype(x.dtype)
+        gf = g * free
+        Hf = H * free[:, None] * free[None, :] - jnp.diag(1.0 - free)
+        p = _clipped_newton_direction(gf, Hf, ridge) * free
         # fall back to (scaled) gradient ascent if the direction is bad
-        bad = ~jnp.all(jnp.isfinite(p)) | (jnp.dot(p, g) <= 0.0)
-        gnorm = jnp.linalg.norm(g)
-        gstep = g / jnp.maximum(gnorm, 1e-12) * (0.1 * scale)
+        bad = ~jnp.all(jnp.isfinite(p)) | (jnp.dot(p, gf) <= 0.0)
+        gnorm = jnp.linalg.norm(gf)
+        gstep = gf / jnp.maximum(gnorm, 1e-12) * (0.1 * scale)
         p = jnp.where(bad, gstep, p)
+        # cap the step so the backtracking grid always contains usable
+        # candidates even when the clipped Hessian is tiny
+        pnorm = jnp.linalg.norm(p)
+        p = p * jnp.minimum(1.0, scale / jnp.maximum(pnorm, 1e-300))
 
         # batched backtracking: try t = 1, 1/2, ..., plus "stay"
         ts = 0.5 ** jnp.arange(_BACKTRACK_STEPS, dtype=dt)

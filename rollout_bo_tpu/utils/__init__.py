@@ -1,0 +1,1 @@
+from rollout_bo_tpu.utils import metrics
