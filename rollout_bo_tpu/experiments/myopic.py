@@ -1,0 +1,103 @@
+"""Myopic BO experiment CLI.
+
+Mirrors `/root/reference/experiments/myopic_bayesopt.jl` (flags :4-41,
+protocol :94-263): for each acquisition in {EI, POI, LCB, Random}, run
+`--trials` BO trials of `--budget` iterations with 5 uniform initial
+samples, logging times/gaps/simple-regret/minimum-observation CSVs per
+acquisition in the reference schema (plus allocations, which are always 0
+here — no per-iteration host allocation in a jitted program).
+
+Usage:
+    python -m rollout_bo_tpu.experiments.myopic --function-name sixhump \
+        --budget 100 --trials 60 --starts 64 --seed 1906
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from rollout_bo_tpu.models import decision_rules as dr
+from rollout_bo_tpu.models import testfns
+from rollout_bo_tpu.rollout import bo
+from rollout_bo_tpu.utils import logging as log
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("Myopic Bayesian Optimization CLI")
+    p.add_argument("--seed", type=int, default=1906)
+    p.add_argument("--starts", type=int, default=64,
+                   help="multistarts for the inner acquisition solve")
+    p.add_argument("--trials", type=int, default=60)
+    p.add_argument("--budget", type=int, default=100)
+    p.add_argument("--function-name", required=True)
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--acquisitions", nargs="+",
+                   default=["ei", "poi", "lcb", "random"])
+    p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    return p.parse_args(argv)
+
+
+ACQS = {
+    "ei": (dr.EI, (0.0,)),
+    "poi": (dr.POI, (0.0,)),
+    "lcb": (dr.LCB, (2.0,)),
+    "random": (dr.RandomAcquisition, (0.0,)),
+}
+
+METRICS = ["times", "gaps", "allocations", "simple_regret", "minimum_observations"]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    f = testfns.get_function(args.function_name)
+    outdir = args.output_dir or os.path.join("experiments", "myopic", args.function_name)
+    os.makedirs(outdir, exist_ok=True)
+    log.write_metadata(outdir, budget=args.budget,
+                       number_of_trials=args.trials,
+                       number_of_starts=args.starts)
+
+    for acq in args.acquisitions:
+        for metric in METRICS:
+            log.create_csv(os.path.join(outdir, f"{acq}_{metric}"), args.budget)
+
+    rng = np.random.default_rng(args.seed)
+    initial_samples = [
+        np.asarray(f.lbs) + (np.asarray(f.ubs) - np.asarray(f.lbs))
+        * rng.uniform(size=(5, f.dim))
+        for _ in range(args.trials)
+    ]
+
+    for acq in args.acquisitions:
+        rule_fn, theta = ACQS[acq]
+        rule = rule_fn()
+        print(f"[{args.function_name}] acquisition={rule.name}")
+        for trial in range(args.trials):
+            t0 = time.time()
+            res = bo.run_myopic_bo(
+                f, rule, budget=args.budget, theta=theta,
+                num_starts=args.starts, seed=args.seed + trial,
+                x_init=initial_samples[trial],
+            )
+            for metric, data in [
+                ("times", res.times),
+                ("gaps", res.gaps),
+                ("allocations", np.zeros(args.budget)),
+                ("simple_regret", res.simple_regrets),
+                ("minimum_observations", res.minimum_observations),
+            ]:
+                log.write_to_csv(os.path.join(outdir, f"{acq}_{metric}"), data)
+            print(f"  trial {trial + 1}/{args.trials}: "
+                  f"final gap {res.gaps[-1]:.3f} ({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

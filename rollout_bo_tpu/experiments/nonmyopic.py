@@ -1,0 +1,105 @@
+"""Non-myopic (rollout) BO experiment CLI.
+
+Mirrors `/root/reference/experiments/nonmyopic_bayesopt.jl` flags (:4-74)
+and the intended rollout BO loop (the reference's driver loop is stale —
+SURVEY.md §0; the live semantics are implemented in
+rollout_bo_tpu.rollout.bo.run_nonmyopic_bo). Outputs
+rollout_h{H}_{times,gaps,observations}.csv in the reference's archived
+schema (experiments/archived/nonmyopic-shortrun-timing).
+
+--nworkers maps to the device count: restarts are sharded over a
+('restarts','mc') mesh when more than one device is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from rollout_bo_tpu.models import decision_rules as dr
+from rollout_bo_tpu.models import testfns
+from rollout_bo_tpu.rollout import bo
+from rollout_bo_tpu.utils import logging as log
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("Nonmyopic Bayesian Optimization CLI")
+    p.add_argument("--nworkers", type=int, default=0,
+                   help="devices to use (0 = all); restarts shard across them")
+    p.add_argument("--seed", type=int, default=1906)
+    p.add_argument("--optimize", action="store_true",
+                   help="optimize surrogate hyperparameters each iteration")
+    p.add_argument("--starts", type=int, default=16)
+    p.add_argument("--trials", type=int, default=60)
+    p.add_argument("--budget", type=int, default=15)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--mc-samples", type=int, default=200)
+    p.add_argument("--horizon", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="outer SGA restarts per BO iteration")
+    p.add_argument("--function-name", required=True)
+    p.add_argument("--sgd-iterations", type=int, default=50)
+    p.add_argument("--variance-reduction", action="store_true",
+                   help="use low-discrepancy (QMC) trajectory streams")
+    p.add_argument("--deterministic-solve", action="store_true",
+                   help="(reserved) SAA/Gauss-Hermite solve")
+    p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    f = testfns.get_function(args.function_name)
+    outdir = os.path.join(args.output_dir, args.function_name)
+    os.makedirs(outdir, exist_ok=True)
+    log.write_metadata(
+        os.path.dirname(outdir) or outdir,
+        budget=args.budget, number_of_trials=args.trials,
+        number_of_starts=args.starts, data_directory=args.output_dir,
+        should_optimize=args.optimize, horizon=args.horizon,
+        mc_samples=args.mc_samples, batch_size=args.batch_size,
+        sgd_iterations=args.sgd_iterations,
+        should_reduce_variance=args.variance_reduction,
+    )
+
+    h = args.horizon
+    for metric in ["times", "gaps", "observations"]:
+        log.create_csv(os.path.join(outdir, f"rollout_h{h}_{metric}"), args.budget)
+
+    mesh = None
+    ndev = len(jax.devices()) if args.nworkers == 0 else args.nworkers
+    if ndev > 1 and args.batch_size % ndev == 0:
+        from rollout_bo_tpu.parallel import mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(jax.devices()[:ndev], restarts=ndev, mc=1)
+
+    rng = np.random.default_rng(args.seed)
+    for trial in range(args.trials):
+        x_init = np.asarray(f.lbs) + (np.asarray(f.ubs) - np.asarray(f.lbs)) \
+            * rng.uniform(size=(5, f.dim))
+        t0 = time.time()
+        res = bo.run_nonmyopic_bo(
+            f, horizon=h, mc_iters=args.mc_samples, budget=args.budget,
+            num_starts=args.starts, num_restarts=args.batch_size,
+            sgd_iters=args.sgd_iterations, seed=args.seed + trial,
+            mle_every=1 if args.optimize else 10**9,
+            use_low_discrepancy=args.variance_reduction,
+            rule=dr.EI(), x_init=x_init, mesh=mesh,
+        )
+        log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_times"), res.times)
+        log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_gaps"), res.gaps)
+        log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_observations"),
+                         res.y[-args.budget:])
+        print(f"trial {trial + 1}/{args.trials}: final gap {res.gaps[-1]:.3f} "
+              f"mean iter {res.times.mean():.2f}s total {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
