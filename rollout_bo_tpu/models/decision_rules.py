@@ -21,11 +21,17 @@ from jax.scipy.stats import norm
 __all__ = ["DecisionRule", "EI", "POI", "LCB", "RandomAcquisition", "RULES"]
 
 
+# |z| beyond this is saturated: cdf/pdf tails are < 1e-190, and the clamp
+# keeps the higher-order autodiff chains finite in float32 on functions
+# with huge unnormalized ranges (e.g. trid10d where |f| ~ 1e5)
+_Z_CLAMP = 30.0
+
+
 def _ei(mu, sigma, theta, fmini, sigma_tol):
     # reference: decision_rules.jl:84-99
     s = jnp.maximum(sigma, sigma_tol)
     improvement = fmini - mu - theta[0]
-    z = improvement / s
+    z = jnp.clip(improvement / s, -_Z_CLAMP, _Z_CLAMP)
     val = improvement * norm.cdf(z) + s * norm.pdf(z)
     return jnp.where(sigma < sigma_tol, 0.0, val)
 
@@ -33,7 +39,7 @@ def _ei(mu, sigma, theta, fmini, sigma_tol):
 def _poi(mu, sigma, theta, fmini, sigma_tol):
     # reference: decision_rules.jl:101-115
     s = jnp.maximum(sigma, sigma_tol)
-    z = (fmini - mu - theta[0]) / s
+    z = jnp.clip((fmini - mu - theta[0]) / s, -_Z_CLAMP, _Z_CLAMP)
     return jnp.where(sigma < sigma_tol, 0.0, norm.cdf(z))
 
 

@@ -243,7 +243,8 @@ def joint_posterior_chol(state: SurrogateState, x):
     kxX = jnp.concatenate([kx[None, :], gkx.T], axis=0)  # (d+1, cap)
     kxx = kern.kernel_joint_block(state.kernel, jnp.zeros((state.dim,), dt))
     S = kxx - kxX @ chol_ops.cho_solve_padded(state.L, kxX.T)
-    S = 0.5 * (S + S.T) + 1e-10 * jnp.eye(state.dim + 1, dtype=dt)
+    jitter = 1e-10 if dt == jnp.float64 else 1e-6
+    S = 0.5 * (S + S.T) + jitter * jnp.eye(state.dim + 1, dtype=dt)
     dmu = jnp.concatenate([jnp.dot(kx, state.c)[None], gkx.T @ state.c])
     return dmu, jnp.linalg.cholesky(S)
 

@@ -1,4 +1,12 @@
-from rollout_bo_tpu.rollout import solvers, bo, trajectory, observables, mc
+from rollout_bo_tpu.rollout import (
+    solvers,
+    bo,
+    trajectory,
+    observables,
+    mc,
+    outer,
+    trust_region,
+)
 from rollout_bo_tpu.rollout.trajectory import (
     TrajectoryParams,
     TrajectoryRecord,

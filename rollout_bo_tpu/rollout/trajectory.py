@@ -173,8 +173,19 @@ def argmax_with_ift(
     ).astype(H.dtype)
     Hm = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
     gm = g * free
-    ok_h = jnp.abs(jnp.linalg.det(Hm)) > htol
-    delta = jnp.linalg.solve(Hm, gm - _stop(gm)) * free
+    # Near-singularity guard. The reference tests det(H) < 1e-4
+    # (rollout.jl:159-161) which is dimension-unaware (det ~ lambda^d
+    # underflows for flat acquisitions in 10d, and is negative for odd d
+    # at any maximum); we use the relative condition of the symmetric
+    # eigenspectrum instead.
+    w = jnp.linalg.eigvalsh(Hm)
+    wmax = jnp.max(jnp.abs(w))
+    ok_h = (jnp.min(jnp.abs(w)) > htol * wmax) & (wmax > 1e-12)
+    # sanitize BEFORE the solve: a singular solve poisons the backward
+    # pass with NaN even when the primal result is masked out
+    eye = jnp.eye(H.shape[0], dtype=H.dtype)
+    Hs = jnp.where(ok_h, Hm, eye)
+    delta = jnp.linalg.solve(Hs, gm - _stop(gm)) * free
     delta = jnp.where(jnp.all(jnp.isfinite(delta)) & ok_h, delta, 0.0)
     return xstar - delta
 

@@ -1,1 +1,1 @@
-from rollout_bo_tpu.utils import metrics
+from rollout_bo_tpu.utils import metrics, logging, checkpoint
