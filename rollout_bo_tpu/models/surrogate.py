@@ -229,11 +229,11 @@ def posterior(state: SurrogateState, x) -> Posterior:
     return Posterior(mu, grad_mu, hess_mu, sigma, grad_sigma, hess_sigma, kx, gkx, w)
 
 
-def joint_posterior_chol(state: SurrogateState, x):
-    """Cholesky factor of the joint (f, grad f) predictive covariance.
+def joint_posterior_cov(state: SurrogateState, x):
+    """Joint (f, grad f) predictive mean and covariance (pre-Cholesky).
 
-    (d+1, d+1); reference `sx.dσ` (rbs.jl:261-267, 530-539). Also returns
-    the joint mean [mu; grad mu].
+    reference `sx.dσ` inputs (rbs.jl:261-267, 530-539). Returns
+    (dmu (d+1,), S (d+1, d+1)) with symmetrization + dtype-aware jitter.
     """
     dt = state.X.dtype
     x = jnp.asarray(x, dt)
@@ -246,6 +246,19 @@ def joint_posterior_chol(state: SurrogateState, x):
     jitter = 1e-10 if dt == jnp.float64 else 1e-6
     S = 0.5 * (S + S.T) + jitter * jnp.eye(state.dim + 1, dtype=dt)
     dmu = jnp.concatenate([jnp.dot(kx, state.c)[None], gkx.T @ state.c])
+    return dmu, S
+
+
+def joint_posterior_chol(state: SurrogateState, x):
+    """Cholesky factor of the joint (f, grad f) predictive covariance.
+
+    (d+1, d+1); reference `sx.dσ` (rbs.jl:261-267, 530-539). Also returns
+    the joint mean [mu; grad mu]. NOTE: the Cholesky backward is
+    numerically fragile for marginally-PD S in float32; the rollout draw
+    path differentiates only sqrt(S[0,0]) (see observables) and keeps the
+    full factor under stop_gradient.
+    """
+    dmu, S = joint_posterior_cov(state, x)
     return dmu, jnp.linalg.cholesky(S)
 
 

@@ -56,8 +56,16 @@ def stochastic_observable(zstream, mode: str = "reparam"):
         z = jax.lax.dynamic_index_in_dim(zstream, j, axis=1, keepdims=False)
         if mode == "sample_path":
             return sample_path_draw(st, x, z)
-        vec = sg.gp_draw_joint(st, x, z)
-        return vec[0], jax.lax.stop_gradient(vec[1:])
+        # reparam: the draw's value only involves row 0 of chol(S), which
+        # is sqrt(S[0,0]) — differentiate that scalar path and keep the
+        # full factor (needed only for the reported gradient rows) under
+        # stop_gradient, avoiding the numerically fragile Cholesky
+        # backward on marginally-PD joint covariances in float32.
+        dmu, S = sg.joint_posterior_cov(st, x)
+        y = dmu[0] + jnp.sqrt(S[0, 0]) * z[0]
+        Ld = jax.lax.stop_gradient(jnp.linalg.cholesky(jax.lax.stop_gradient(S)))
+        gy = jax.lax.stop_gradient(dmu[1:] + (Ld @ z)[1:])
+        return y, gy
 
     return draw
 

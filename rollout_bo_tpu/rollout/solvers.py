@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 from rollout_bo_tpu.models import surrogate as sg
 from rollout_bo_tpu.models.decision_rules import DecisionRule
@@ -31,19 +32,40 @@ class SolveResult(NamedTuple):
     values: jax.Array  # (S,) per-start values
 
 
-_BACKTRACK_STEPS = 6  # trial step sizes 1, 1/2, ..., 1/2^5 (+ "stay put")
+_BACKTRACK_STEPS = 9  # trial step sizes 1, 1/2, ..., 1/2^8 (+ "stay put")
+
+
+_DAMPING_LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1.0, 100.0)
 
 
 def _clipped_newton_direction(g, H, ridge):
-    """Ascent direction from saddle-free-clipped -H (modified Newton).
+    """Ascent direction from damped -H (Levenberg-style modified Newton).
 
-    Eigenvalues of -H are replaced by max(|lambda|, ridge): in
-    positive-curvature regions this gives a |lambda|-scaled (bounded)
-    ascent step instead of the ~1/ridge blow-up of plain clipping.
+    Solves (-H + tau*s*I) p = g for an escalating damping ladder tau
+    (s = a diagonal scale of -H) via batched Cholesky, and picks the least
+    damped solve that is finite and an ascent direction. Cholesky is used
+    instead of an eigendecomposition deliberately: eigh lowers to a very
+    large HLO program on TPU and dominated compile time inside the nested
+    rollout scans.
     """
-    w, V = jnp.linalg.eigh(-H)
-    w = jnp.maximum(jnp.abs(w), ridge)
-    p = V @ ((V.T @ g) / w)
+    d = g.shape[0]
+    A = -H
+    s = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), ridge)
+    taus = jnp.asarray(_DAMPING_LADDER, dtype=g.dtype) * s + ridge
+    eye = jnp.eye(d, dtype=g.dtype)
+
+    def solve_one(tau):
+        L = jnp.linalg.cholesky(A + tau * eye)  # NaN if not PD
+        z = solve_triangular(L, g, lower=True)
+        p = solve_triangular(L, z, lower=True, trans=1)
+        ok = jnp.all(jnp.isfinite(p)) & (jnp.dot(p, g) > 0.0)
+        return p, ok
+
+    ps, oks = jax.vmap(solve_one)(taus)
+    # first (least damped) valid solve; fall back to scaled gradient
+    idx = jnp.argmax(oks)
+    any_ok = jnp.any(oks)
+    p = jnp.where(any_ok, ps[idx], g / s)
     return p
 
 
@@ -88,7 +110,9 @@ def newton_solve_batch(
         gf = g * free
         Hf = H * free[:, None] * free[None, :] - jnp.diag(1.0 - free)
         p = _clipped_newton_direction(gf, Hf, ridge) * free
-        # fall back to (scaled) gradient ascent if the direction is bad
+        # always also consider a scaled gradient-ascent direction: the
+        # damped Newton step can overshoot a narrow peak when A is barely
+        # PD, and the gradient candidates guarantee progress
         bad = ~jnp.all(jnp.isfinite(p)) | (jnp.dot(p, gf) <= 0.0)
         gnorm = jnp.linalg.norm(gf)
         gstep = gf / jnp.maximum(gnorm, 1e-12) * (0.1 * scale)
@@ -98,9 +122,13 @@ def newton_solve_batch(
         pnorm = jnp.linalg.norm(p)
         p = p * jnp.minimum(1.0, scale / jnp.maximum(pnorm, 1e-300))
 
-        # batched backtracking: try t = 1, 1/2, ..., plus "stay"
+        # batched backtracking over both directions
         ts = 0.5 ** jnp.arange(_BACKTRACK_STEPS, dtype=dt)
-        cands = jnp.clip(x[None, :] + ts[:, None] * p[None, :], lbs, ubs)
+        cands = jnp.concatenate([
+            x[None, :] + ts[:, None] * p[None, :],
+            x[None, :] + ts[:, None] * gstep[None, :],
+        ])
+        cands = jnp.clip(cands, lbs, ubs)
         vals = jax.vmap(value)(cands)
         vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
         a0 = jnp.where(jnp.isfinite(a), a, -jnp.inf)

@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 from rollout_bo_tpu.models import fantasy as fant
 from rollout_bo_tpu.models import surrogate as sg
@@ -171,21 +172,31 @@ def argmax_with_ift(
         (xstar > jnp.asarray(lbs) + boundary_tol)
         & (xstar < jnp.asarray(ubs) - boundary_tol)
     ).astype(H.dtype)
-    Hm = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+    # pinned block gets -1 on the diagonal so that -Hm is PD iff the free
+    # block of -H is PD (pinned rows are decoupled; gm is 0 there)
+    Hm = H * free[:, None] * free[None, :] - jnp.diag(1.0 - free)
     gm = g * free
     # Near-singularity guard. The reference tests det(H) < 1e-4
     # (rollout.jl:159-161) which is dimension-unaware (det ~ lambda^d
     # underflows for flat acquisitions in 10d, and is negative for odd d
-    # at any maximum); we use the relative condition of the symmetric
-    # eigenspectrum instead.
-    w = jnp.linalg.eigvalsh(Hm)
-    wmax = jnp.max(jnp.abs(w))
-    ok_h = (jnp.min(jnp.abs(w)) > htol * wmax) & (wmax > 1e-12)
+    # at any maximum). Instead: at a proper constrained maximum -Hm must
+    # be positive definite with relative margin htol, checked by whether
+    # chol(-Hm - htol*s*I) succeeds (s = diagonal scale). Cholesky is
+    # used instead of an eigendecomposition to keep the TPU program small.
+    d = H.shape[0]
+    eye = jnp.eye(d, dtype=H.dtype)
+    A = -Hm
+    s = jnp.max(jnp.abs(jnp.diagonal(A)))
+    # PD-with-margin test on the free block only (pinned diag stays 1)
+    L_test = jnp.linalg.cholesky(A - htol * s * jnp.diag(free))
+    ok_h = jnp.all(jnp.isfinite(L_test)) & (s > 1e-12)
     # sanitize BEFORE the solve: a singular solve poisons the backward
     # pass with NaN even when the primal result is masked out
-    eye = jnp.eye(H.shape[0], dtype=H.dtype)
-    Hs = jnp.where(ok_h, Hm, eye)
-    delta = jnp.linalg.solve(Hs, gm - _stop(gm)) * free
+    A_safe = jnp.where(ok_h, A, eye)
+    Lc = jnp.linalg.cholesky(A_safe)
+    rhs = -(gm - _stop(gm))  # Hm delta = gm - stop(gm)  =>  A delta = -(...)
+    z = solve_triangular(Lc, rhs, lower=True)
+    delta = solve_triangular(Lc, z, lower=True, trans=1) * free
     delta = jnp.where(jnp.all(jnp.isfinite(delta)) & ok_h, delta, 0.0)
     return xstar - delta
 
