@@ -118,6 +118,88 @@ def stochastic_solve(
     return x, simulate(x)
 
 
+def make_batched_grad_step(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    *,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """Jitted (values, grads, stds) over a batch of outer points.
+
+    Building block for the host-stepped SGA loop (`stochastic_solve_stepped`):
+    one device program per SGA iteration instead of a device-side while loop
+    — drastically smaller programs (important where compile time/size is
+    constrained), same math.
+    """
+
+    @jax.jit
+    def step(st, rnstream, xs):
+        def one(x0):
+            eto = mc_mod.simulate_trajectory_mc(
+                st, tp._replace(x0=x0, rnstream=rnstream), rule, xstarts,
+                with_gradients=True, iterations=inner_iterations,
+                draw_mode=draw_mode,
+            )
+            return eto.mu, eto.grad_x, eto.std_grad_x
+
+        return jax.vmap(one)(xs)
+
+    return step
+
+
+def stochastic_solve_stepped(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+    grad_step=None,
+):
+    """Host-stepped multi-restart SGA (same semantics as the fused batch).
+
+    Each iteration dispatches one jitted batched value+gradient program and
+    applies Adam + eswavs early stopping on host. Restarts that stop keep
+    their point frozen. Returns (xs (R, d), values (R,)).
+    """
+    import numpy as np
+
+    dt = state.X.dtype
+    xs = jnp.asarray(starts, dt)
+    R = xs.shape[0]
+    step = grad_step or make_batched_grad_step(
+        state, tp, rule, xstarts,
+        inner_iterations=inner_iterations, draw_mode=draw_mode,
+    )
+
+    opt = AdamState(jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.zeros((), jnp.int32))
+    done = np.zeros(R, dtype=bool)
+    vals = None
+    for _ in range(max_iters):
+        vals, grads, stds = step(state, tp.rnstream, xs)
+        g = np.asarray(grads)
+        v = np.asarray(stds) ** 2
+        stop = np.array([
+            bool(eswavs(jnp.asarray(g[r]), jnp.asarray(v[r]), tp.mc_iters))
+            for r in range(R)
+        ])
+        done |= stop
+        if done.all():
+            break
+        opt, xs_new = adam_update(opt, xs, grads, lr=lr)
+        xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
+        xs = jnp.where(jnp.asarray(done)[:, None], xs, xs_new)
+    vals, _, _ = step(state, tp.rnstream, xs)
+    return xs, vals
+
+
 def stochastic_solve_batch(
     state: sg.SurrogateState,
     tp: TrajectoryParams,
