@@ -20,7 +20,25 @@ DarianNwankwo/Rollout-Bayesian-Optimization (pure Julia, serial CPU):
 
 Parallelism: MC trajectories x multistarts x SGA restarts are sharded over
 a jax.sharding.Mesh; cross-device reductions ride XLA collectives.
+
+Numerics note: TPU matmuls default to bfloat16 accumulation, which loses
+~8 mantissa bits — enough to push the GP joint predictive covariance
+S = k(x,x) - K_xX K^{-1} K_Xx outside the PD cone past its jitter, at
+which point chol(S) is NaN and one poisoned MC lane NaNs the whole
+acquisition mean (observed on trid10d at mc=200). Every matrix product in
+this package is tiny (capacity ~1e2), so full-precision accumulation costs
+nothing; we set the matmul default to "highest" at import. Override via
+ROLLOUT_BO_TPU_MATMUL_PRECISION (e.g. "default", "float32", "highest").
 """
+
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("ROLLOUT_BO_TPU_MATMUL_PRECISION", "highest"),
+)
 
 from rollout_bo_tpu import ops, models, rollout, parallel, utils
 

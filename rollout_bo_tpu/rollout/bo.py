@@ -26,7 +26,14 @@ from rollout_bo_tpu.ops import qmc
 from rollout_bo_tpu.rollout import solvers
 from rollout_bo_tpu.utils import metrics
 
-__all__ = ["MyopicBOResult", "run_myopic_bo", "run_nonmyopic_bo"]
+__all__ = [
+    "MyopicBOResult",
+    "run_myopic_bo",
+    "run_nonmyopic_bo",
+    "run_adaptive_bo",
+    "alternating_horizon",
+    "truncated_horizon",
+]
 
 
 @dataclass
@@ -269,3 +276,205 @@ def run_nonmyopic_bo(
         times=times,
         state=state,
     )
+
+
+def alternating_horizon(max_horizon: int = 1):
+    """Reference adaptive schedule: h alternates 0, max_h, 0, max_h, ...
+
+    adaptive_bayesopt.jl:505 (`tp.h = budget % 2 == 1 ? 0 : 1`), with the
+    reference's hard-coded 1 generalized to max_horizon. `b` is 0-based.
+    """
+
+    def schedule(b: int, budget: int) -> int:
+        return 0 if (b + 1) % 2 == 1 else max_horizon
+
+    return schedule
+
+
+def truncated_horizon(max_horizon: int):
+    """The reference's commented-out alternative (adaptive_bayesopt.jl:503):
+    truncate the horizon as the remaining budget shrinks."""
+
+    def schedule(b: int, budget: int) -> int:
+        return min(max_horizon, budget - (b + 1))
+
+    return schedule
+
+
+def _device_peak_bytes():
+    """Best-effort device memory telemetry (reference logs @timed bytes;
+    adaptive_bayesopt.jl:508-520). Returns peak bytes in use, or 0 when the
+    backend exposes no memory stats (e.g. CPU)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+    except Exception:
+        return 0
+
+
+def run_adaptive_bo(
+    testfn: TestFunction,
+    *,
+    horizon: int = 1,
+    schedule: Callable[[int, int], int] | None = None,
+    mc_iters: int = 25,
+    budget: int = 15,
+    theta=(0.0,),
+    n_init: int = 1,
+    num_starts: int = 16,
+    num_restarts: int = 4,
+    sgd_iters: int = 25,
+    lr: float = 0.01,
+    seed: int = 1906,
+    kernel: kern.RBFKernel | None = None,
+    kernel_lbs=(0.1,),
+    kernel_ubs=(5.0,),
+    noise: float = 1e-6,
+    mle_every: int = 10**9,
+    solver_iterations: int = 12,
+    use_low_discrepancy: bool = True,
+    deterministic: bool = False,
+    ghq_nodes: int = 8,
+    rule: DecisionRule | None = None,
+    draw_mode: str = "reparam",
+    dtype=None,
+    x_init: np.ndarray | None = None,
+):
+    """Adaptive-horizon rollout BO trial (reference adaptive_bayesopt.jl:479-526).
+
+    Each BO iteration solves the rollout acquisition at horizon
+    schedule(b, budget) (default: the reference's alternating 0/h), over a
+    batch of `num_restarts` outer starts; `deterministic=True` selects the
+    SAA/Gauss-Hermite solver (reference `rollout_solver_saa`), otherwise the
+    stochastic (MC + QMC streams) solver. One jitted program is compiled
+    per distinct horizon and reused across iterations and trials.
+
+    Returns a MyopicBOResult whose `times` carry the acquisition-solve wall
+    seconds and an extra `allocations` array (device peak bytes per
+    iteration, the reference's @timed bytes analog) attached as an
+    attribute.
+    """
+    from rollout_bo_tpu.rollout import outer as outer_mod
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    rule = rule or EI()
+    kernel = kernel or kern.matern52()
+    schedule = schedule or alternating_horizon(horizon)
+    lbs, ubs = testfn.lbs, testfn.ubs
+    d = testfn.dim
+    rng = np.random.default_rng(seed)
+
+    if x_init is None:
+        x_init = qmc.randsample(n_init, d, lbs, ubs, rng)
+    y_init = np.asarray(testfn.batch(x_init))
+
+    capacity = x_init.shape[0] + budget
+    state = sg.fit(kernel, x_init, y_init, capacity=capacity, noise=noise, dtype=dtype)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(num_starts, lbs, ubs), dt)
+    theta = jnp.asarray(theta, dt)
+    klbs = jnp.asarray(kernel_lbs, dt)
+    kubs = jnp.asarray(kernel_ubs, dt)
+    lbs_j = jnp.asarray(lbs, dt)
+    ubs_j = jnp.asarray(ubs, dt)
+
+    def make_rnstream(h):
+        if use_low_discrepancy:
+            z = qmc.gen_low_discrepancy_sequence(mc_iters, d, h + 1)
+        else:
+            z = rng.normal(size=(mc_iters, d + 1, h + 1))
+        return jnp.asarray(z, dt)
+
+    # one compiled acquisition program per distinct horizon
+    acquire_cache: dict[int, Callable] = {}
+
+    def acquire_for(h):
+        if h in acquire_cache:
+            return acquire_cache[h]
+
+        if deterministic:
+            @jax.jit
+            def acq(state, restarts):
+                xs, vals = outer_mod.deterministic_solve_batch(
+                    state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
+                    horizon=h, num_nodes=ghq_nodes, max_iters=sgd_iters,
+                    lr=lr, inner_iterations=solver_iterations,
+                )
+                j = jnp.argmax(vals)
+                return xs[j], vals[j]
+
+            fn = lambda state, restarts, rnstream: acq(state, restarts)  # noqa: E731
+        else:
+            @jax.jit
+            def acq(state, rnstream, restarts):
+                tp = TrajectoryParams(
+                    x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j,
+                    ubs=ubs_j, rnstream=rnstream,
+                )
+                xs, vals = outer_mod.stochastic_solve_batch(
+                    state, tp, rule, xstarts, restarts,
+                    max_iters=sgd_iters, lr=lr,
+                    inner_iterations=solver_iterations, draw_mode=draw_mode,
+                )
+                j = jnp.argmax(vals)
+                return xs[j], vals[j]
+
+            fn = lambda state, restarts, rnstream: acq(state, rnstream, restarts)  # noqa: E731
+
+        acquire_cache[h] = fn
+        return fn
+
+    @jax.jit
+    def observe(state: sg.SurrogateState, xnext):
+        ynext = testfn.f(xnext)
+        return sg.condition(state, xnext, ynext), ynext
+
+    @jax.jit
+    def mle_step(state: sg.SurrogateState):
+        return sg.optimize_hypers(state, klbs, kubs)
+
+    true_minimum = testfn.fmin
+    initial_best = float(y_init.min())
+
+    gaps = np.zeros(budget)
+    regrets = np.zeros(budget)
+    min_obs = np.zeros(budget)
+    times = np.zeros(budget)
+    allocations = np.zeros(budget)
+    X_all = [np.asarray(x) for x in x_init]
+    y_all = list(map(float, y_init))
+
+    for b in range(budget):
+        h = max(0, int(schedule(b, budget)))
+        restarts = jnp.asarray(
+            qmc.generate_batch(num_restarts, lbs, ubs)[:num_restarts], dt)
+        rnstream = make_rnstream(h)
+        mem0 = _device_peak_bytes()
+        t0 = time.perf_counter()
+        xnext, _ = acquire_for(h)(state, restarts, rnstream)
+        xnext.block_until_ready()
+        times[b] = time.perf_counter() - t0
+        allocations[b] = max(0, _device_peak_bytes() - mem0)
+
+        best = min(y_all)
+        gaps[b] = metrics.gap(initial_best, best, true_minimum)
+        regrets[b] = metrics.simple_regret(true_minimum, best)
+
+        state, ynext = observe(state, xnext)
+        if (b + 1) % mle_every == 0:
+            state = mle_step(state)
+        X_all.append(np.asarray(xnext))
+        y_all.append(float(ynext))
+        min_obs[b] = min(y_all)
+
+    res = MyopicBOResult(
+        X=np.stack(X_all),
+        y=np.asarray(y_all),
+        gaps=gaps,
+        simple_regrets=regrets,
+        minimum_observations=min_obs,
+        times=times,
+        state=state,
+    )
+    res.allocations = allocations
+    return res

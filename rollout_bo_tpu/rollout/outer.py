@@ -29,6 +29,8 @@ __all__ = [
     "eswavs",
     "stochastic_solve",
     "stochastic_solve_batch",
+    "deterministic_solve",
+    "deterministic_solve_batch",
 ]
 
 
@@ -198,6 +200,91 @@ def stochastic_solve_stepped(
         xs = jnp.where(jnp.asarray(done)[:, None], xs, xs_new)
     vals, _, _ = step(state, tp.rnstream, xs)
     return xs, vals
+
+
+def deterministic_solve(
+    state: sg.SurrogateState,
+    x0,
+    theta,
+    lbs,
+    ubs,
+    xstarts,
+    rule: DecisionRule,
+    *,
+    horizon: int,
+    num_nodes: int = 8,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    grad_tol: float = 1e-4,
+    inner_iterations: int = 12,
+):
+    """SAA (Gauss-Hermite) ascent of the rollout acquisition from one start.
+
+    reference: deterministic_solve (utils.jl:267-306) — the SGA loop on the
+    variance-free GHQ estimate, stopping on ||grad|| < grad_tol. Expressed
+    as one lax.while_loop over Adam updates of the quadrature objective.
+    Returns (x_final, ExpectedTrajectoryOutput at x_final).
+    """
+    dt = state.X.dtype
+    x0 = jnp.asarray(x0, dt)
+    theta = jnp.asarray(theta, dt)
+    lbs = jnp.asarray(lbs, dt)
+    ubs = jnp.asarray(ubs, dt)
+
+    def simulate(x):
+        return mc_mod.simulate_trajectory_ghq(
+            state, x, theta, lbs, ubs, xstarts, rule,
+            horizon=horizon, num_nodes=num_nodes,
+            with_gradients=True, iterations=inner_iterations,
+        )
+
+    def cond(carry):
+        x, opt, it, done = carry
+        return (~done) & (it < max_iters)
+
+    def body(carry):
+        x, opt, it, _ = carry
+        eto = simulate(x)
+        stop = jnp.linalg.norm(eto.grad_x) < grad_tol
+        opt2, x2 = adam_update(opt, x, eto.grad_x, lr=lr)
+        x2 = jnp.clip(x2, lbs, ubs)
+        x = jnp.where(stop, x, x2)
+        return (x, opt2, it + 1, stop)
+
+    x, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, adam_init(x0), jnp.asarray(0, jnp.int32),
+                     jnp.asarray(False))
+    )
+    return x, simulate(x)
+
+
+def deterministic_solve_batch(
+    state: sg.SurrogateState,
+    theta,
+    lbs,
+    ubs,
+    xstarts,
+    starts,
+    rule: DecisionRule,
+    *,
+    horizon: int,
+    num_nodes: int = 8,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    grad_tol: float = 1e-4,
+    inner_iterations: int = 12,
+):
+    """vmap of deterministic_solve over a batch of outer restarts."""
+
+    def one(s):
+        x, eto = deterministic_solve(
+            state, s, theta, lbs, ubs, xstarts, rule,
+            horizon=horizon, num_nodes=num_nodes, max_iters=max_iters,
+            lr=lr, grad_tol=grad_tol, inner_iterations=inner_iterations,
+        )
+        return x, eto.mu
+
+    return jax.vmap(one)(jnp.asarray(starts, state.X.dtype))
 
 
 def stochastic_solve_batch(

@@ -1,0 +1,101 @@
+"""Adaptive-horizon driver + deterministic (SAA) outer solve tests.
+
+reference: experiments/adaptive_bayesopt.jl (schedule :505, failure
+capture :492-542) and utils.jl:267-306 (deterministic_solve).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rollout_bo_tpu.models import surrogate as sg
+from rollout_bo_tpu.models import testfns
+from rollout_bo_tpu.models.decision_rules import EI
+from rollout_bo_tpu.ops import kernels as K
+from rollout_bo_tpu.ops import qmc
+from rollout_bo_tpu.rollout import bo, outer
+
+
+def test_horizon_schedules():
+    alt = bo.alternating_horizon(2)
+    assert [alt(b, 6) for b in range(6)] == [0, 2, 0, 2, 0, 2]
+    tr = bo.truncated_horizon(3)
+    assert [tr(b, 5) for b in range(5)] == [3, 3, 2, 1, 0]
+
+
+def _small_state(f, n=4, cap=12, seed=0):
+    rng = np.random.default_rng(seed)
+    X = qmc.randsample(n, f.dim, f.lbs, f.ubs, rng)
+    y = np.asarray(f.batch(X))
+    return sg.fit(K.matern52((0.7,)), X, y, capacity=cap, noise=1e-6)
+
+
+def test_deterministic_solve_batch_finite():
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, f.lbs, f.ubs),
+                          state.X.dtype)
+    starts = jnp.asarray(qmc.generate_batch(3, f.lbs, f.ubs)[:3], state.X.dtype)
+    xs, vals = outer.deterministic_solve_batch(
+        state, jnp.asarray([0.0]), jnp.asarray(f.lbs), jnp.asarray(f.ubs),
+        xstarts, starts, EI(), horizon=1, num_nodes=3, max_iters=2,
+        inner_iterations=4,
+    )
+    assert xs.shape == (3, f.dim)
+    assert np.all(np.isfinite(np.asarray(xs)))
+    assert np.all(np.isfinite(np.asarray(vals)))
+    lo, hi = np.asarray(f.lbs), np.asarray(f.ubs)
+    assert np.all(np.asarray(xs) >= lo - 1e-9) and np.all(np.asarray(xs) <= hi + 1e-9)
+
+
+@pytest.mark.parametrize("deterministic", [False, True])
+def test_run_adaptive_bo_smoke(deterministic):
+    f = testfns.get_function("sixhump")
+    res = bo.run_adaptive_bo(
+        f, horizon=1, mc_iters=4, budget=3, num_starts=4, num_restarts=2,
+        sgd_iters=2, seed=7, n_init=2, deterministic=deterministic,
+        ghq_nodes=3, solver_iterations=4,
+    )
+    assert res.y.shape == (5,)
+    assert np.all(np.isfinite(res.y))
+    assert res.gaps.shape == (3,)
+    assert res.allocations.shape == (3,)
+    # minimum observations are monotone nonincreasing
+    assert np.all(np.diff(res.minimum_observations) <= 1e-12)
+
+
+def test_adaptive_cli_smoke(tmp_path):
+    from rollout_bo_tpu.experiments import adaptive
+
+    adaptive.main([
+        "--function-name", "sixhump", "--output-dir", str(tmp_path),
+        "--trials", "1", "--budget", "2", "--starts", "4",
+        "--mc-samples", "4", "--horizon", "1", "--batch-size", "2",
+        "--sgd-iterations", "2", "--variance-reduction",
+    ])
+    outdir = tmp_path / "sixhump"
+    for metric in ["gaps", "observations", "times", "allocations"]:
+        p = outdir / f"rollout_h1_{metric}.csv"
+        assert p.exists()
+        rows = p.read_text().strip().splitlines()
+        assert len(rows) == 3  # header + -1 sentinel + one trial
+    assert not (outdir / "sixhump_failed.txt").exists()
+    assert (outdir / "metadata.txt").exists()
+
+
+def test_adaptive_cli_failure_capture(tmp_path, monkeypatch):
+    from rollout_bo_tpu.experiments import adaptive
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic failure")
+
+    monkeypatch.setattr(bo, "run_adaptive_bo", boom)
+    adaptive.main([
+        "--function-name", "sixhump", "--output-dir", str(tmp_path),
+        "--trials", "1", "--budget", "2", "--function-name", "sixhump",
+    ])
+    failed = tmp_path / "sixhump" / "sixhump_failed.txt"
+    assert failed.exists()
+    assert "synthetic failure" in failed.read_text()
