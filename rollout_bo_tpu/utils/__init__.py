@@ -1,1 +1,1 @@
-from rollout_bo_tpu.utils import metrics, logging, checkpoint
+from rollout_bo_tpu.utils import metrics, logging, checkpoint, profiling
