@@ -42,6 +42,7 @@ class FantasyState(NamedTuple):
     n_base: jax.Array   # () int32 — real observations
     m: jax.Array        # () int32 — fantasies observed (0..h+1)
     noise: jax.Array
+    Li: jax.Array       # (capF, capF) explicit L^{-1}, identity-padded
 
     @property
     def capacity(self) -> int:
@@ -66,6 +67,7 @@ def make_fantasy(state: sg.SurrogateState, horizon: int) -> FantasyState:
     X = jnp.zeros((capF, d), dt).at[:cap].set(state.X)
     y = jnp.zeros((capF,), dt).at[:cap].set(state.y)
     L = jnp.eye(capF, dtype=dt).at[:cap, :cap].set(state.L)
+    Li = jnp.eye(capF, dtype=dt).at[:cap, :cap].set(state.Li)
     cs = jnp.zeros((horizon + 2, capF), dt).at[0, :cap].set(state.c)
     return FantasyState(
         kernel=state.kernel,
@@ -76,19 +78,31 @@ def make_fantasy(state: sg.SurrogateState, horizon: int) -> FantasyState:
         n_base=state.n,
         m=jnp.asarray(0, jnp.int32),
         noise=state.noise,
+        Li=Li,
     )
 
 
 def view(fs: FantasyState, fantasy_index) -> sg.SurrogateState:
-    """Zero-copy posterior view at a fantasy index (-1 = base).
+    """Posterior view at a fantasy index (-1 = base).
 
     reference: FantasySurrogate eval slicing (rbs.jl:482-505) — active
     count n_base + fantasy_index + 1, coefficients cs[fantasy_index + 1].
+
+    The identity-padding invariant must hold for rows >= n or the padded
+    triangular solves leak fantasy rows appended *after* this index into
+    the posterior. For a lower-triangular factor the leading n x n block
+    of L^{-1} is exactly (L[:n, :n])^{-1}, so restoring identity padding
+    on both L and Li yields the exact factor pair of the sliced state —
+    views at ANY past index are correct, not just the newest.
     """
     fi = jnp.asarray(fantasy_index, jnp.int32)
     n = fs.n_base + fi + 1
     c = jnp.take(fs.cs, fi + 1, axis=0)
-    return sg.SurrogateState(fs.kernel, fs.X, fs.y, fs.L, c, n, fs.noise)
+    rows = jnp.arange(fs.capacity)[:, None]
+    eye = jnp.eye(fs.capacity, dtype=fs.L.dtype)
+    L = jnp.where(rows >= n, eye, fs.L)
+    Li = jnp.where(rows >= n, eye, fs.Li)
+    return sg.SurrogateState(fs.kernel, fs.X, fs.y, L, c, n, fs.noise, Li)
 
 
 def fantasy_condition(fs: FantasyState, xnew, ynew) -> FantasyState:
@@ -105,15 +119,15 @@ def fantasy_condition(fs: FantasyState, xnew, ynew) -> FantasyState:
 
     kvec = kern.eval_KxX(fs.kernel, xnew, fs.X)
     k0 = fs.kernel.psi(jnp.zeros((), dt)) + fs.noise
-    L = chol_ops.chol_append_row(fs.L, kvec, k0, n)
+    L, Li = chol_ops.chol_append_row_with_inv(fs.L, fs.Li, kvec, k0, n)
 
     rows = jnp.arange(capF)
     X = jnp.where((rows == n)[:, None], xnew[None, :], fs.X)
     y = jnp.where(rows == n, ynew, fs.y)
     mask = (rows < n + 1).astype(dt)
-    c_new = chol_ops.cho_solve_padded(L, y * mask)
+    c_new = chol_ops.psd_apply(Li, y * mask)
     cs = jax.lax.dynamic_update_index_in_dim(fs.cs, c_new, fs.m + 1, axis=0)
-    return fs._replace(X=X, y=y, L=L, cs=cs, m=fs.m + 1)
+    return fs._replace(X=X, y=y, L=L, Li=Li, cs=cs, m=fs.m + 1)
 
 
 def fantasy_reset(fs: FantasyState) -> FantasyState:
@@ -126,4 +140,5 @@ def fantasy_reset(fs: FantasyState) -> FantasyState:
     rows = jnp.arange(fs.capacity)[:, None]
     eye = jnp.eye(fs.capacity, dtype=fs.L.dtype)
     L = jnp.where(rows >= fs.n_base, eye, fs.L)
-    return fs._replace(L=L, m=jnp.asarray(0, jnp.int32))
+    Li = jnp.where(rows >= fs.n_base, eye, fs.Li)
+    return fs._replace(L=L, Li=Li, m=jnp.asarray(0, jnp.int32))

@@ -58,6 +58,7 @@ def refantasize(fs: fant.FantasyState) -> fant.FantasyState:
     n_total = fs.n_base + fs.m
     K = kern.eval_KXX(fs.kernel, fs.X, noise=fs.noise)
     L = chol_ops.masked_cholesky(K, n_total)
+    Li = chol_ops.tri_inv_padded(L)
     rows = jnp.arange(fs.capacity)
     eye = jnp.eye(fs.capacity, dtype=fs.L.dtype)
 
@@ -69,7 +70,7 @@ def refantasize(fs: fant.FantasyState) -> fant.FantasyState:
         return chol_ops.cho_solve_padded(L_i, fs.y * m_i)
 
     cs = jax.vmap(coeffs)(jnp.arange(fs.cs.shape[0]))
-    return fs._replace(L=L, cs=cs)
+    return fs._replace(L=L, Li=Li, cs=cs)
 
 
 def _quantities(st: sg.SurrogateState, rule: DecisionRule, x, theta):

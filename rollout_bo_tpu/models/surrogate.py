@@ -64,6 +64,8 @@ class SurrogateState(NamedTuple):
     c: (cap,)  K^{-1} y coefficients, zero-padded.
     n: ()      active observation count (traced int32).
     noise: ()  observation noise sigma_n^2.
+    Li: (cap, cap) explicit L^{-1}, identity-padded — kept alongside L so
+        posterior solves are MXU matmuls (see ops/chol.py tri_inv_padded).
     """
 
     kernel: RBFKernel
@@ -73,6 +75,7 @@ class SurrogateState(NamedTuple):
     c: jax.Array
     n: jax.Array
     noise: jax.Array
+    Li: jax.Array
 
     @property
     def capacity(self) -> int:
@@ -88,12 +91,13 @@ class SurrogateState(NamedTuple):
 
 
 def _refactor(kernel: RBFKernel, X, y, n, noise):
-    """Full (masked) refactorization: K -> L -> c."""
+    """Full (masked) refactorization: K -> L, L^{-1} -> c."""
     K = kern.eval_KXX(kernel, X, noise=noise)
     L = chol_ops.masked_cholesky(K, n)
+    Li = chol_ops.tri_inv_padded(L)
     m = (jnp.arange(X.shape[0]) < n).astype(X.dtype)
-    c = chol_ops.cho_solve_padded(L, y * m)
-    return L, c
+    c = chol_ops.psd_apply(Li, y * m)
+    return L, Li, c
 
 
 def fit(
@@ -119,14 +123,14 @@ def fit(
     n = jnp.asarray(nobs, jnp.int32)
     noise = jnp.asarray(noise, X.dtype)
     kernel = RBFKernel(theta=jnp.asarray(kernel.theta, X.dtype), kind=kernel.kind)
-    L, c = _refactor(kernel, Xp, yp, n, noise)
-    return SurrogateState(kernel, Xp, yp, L, c, n, noise)
+    L, Li, c = _refactor(kernel, Xp, yp, n, noise)
+    return SurrogateState(kernel, Xp, yp, L, c, n, noise, Li)
 
 
 def refit(state: SurrogateState) -> SurrogateState:
     """Re-factorize in place (same data); used after hyperparameter moves."""
-    L, c = _refactor(state.kernel, state.X, state.y, state.n, state.noise)
-    return state._replace(L=L, c=c)
+    L, Li, c = _refactor(state.kernel, state.X, state.y, state.n, state.noise)
+    return state._replace(L=L, Li=Li, c=c)
 
 
 def set_kernel(state: SurrogateState, kernel: RBFKernel) -> SurrogateState:
@@ -142,8 +146,8 @@ def reset(state: SurrogateState, X, y) -> SurrogateState:
     Xp = jnp.zeros_like(state.X).at[:nobs].set(X)
     yp = jnp.zeros_like(state.y).at[:nobs].set(y)
     n = jnp.asarray(nobs, jnp.int32)
-    L, c = _refactor(state.kernel, Xp, yp, n, state.noise)
-    return SurrogateState(state.kernel, Xp, yp, L, c, n, state.noise)
+    L, Li, c = _refactor(state.kernel, Xp, yp, n, state.noise)
+    return SurrogateState(state.kernel, Xp, yp, L, c, n, state.noise, Li)
 
 
 def condition(state: SurrogateState, xnew, ynew) -> SurrogateState:
@@ -161,14 +165,14 @@ def condition(state: SurrogateState, xnew, ynew) -> SurrogateState:
 
     kvec = kern.eval_KxX(state.kernel, xnew, state.X)  # (cap,)
     k0 = state.kernel.psi(jnp.zeros((), dt)) + state.noise
-    L = chol_ops.chol_append_row(state.L, kvec, k0, n)
+    L, Li = chol_ops.chol_append_row_with_inv(state.L, state.Li, kvec, k0, n)
 
     rows = jnp.arange(cap)
     X = jnp.where((rows == n)[:, None], xnew[None, :], state.X)
     y = jnp.where(rows == n, ynew, state.y)
     m = (rows < n + 1).astype(dt)
-    c = chol_ops.cho_solve_padded(L, y * m)
-    return state._replace(X=X, y=y, L=L, c=c, n=n + 1)
+    c = chol_ops.psd_apply(Li, y * m)
+    return state._replace(X=X, y=y, L=L, Li=Li, c=c, n=n + 1)
 
 
 def get_active_minimum(state: SurrogateState) -> jax.Array:
@@ -213,10 +217,11 @@ def posterior(state: SurrogateState, x) -> Posterior:
     grad_mu = gkx.T @ state.c
     hess_mu = jnp.einsum("n,nij->ij", state.c * m, Hks)
 
-    w = chol_ops.cho_solve_padded(state.L, kx)
-    Dw = chol_ops.cho_solve_padded(state.L, gkx)  # (cap, d)
+    v = state.Li @ kx
+    w = state.Li.T @ v
+    Dw = chol_ops.psd_apply(state.Li, gkx)  # (cap, d)
     k0 = state.kernel.psi(jnp.zeros((), dt))
-    var = jnp.maximum(k0 - jnp.dot(kx, w), _SIGMA_FLOOR**2)
+    var = jnp.maximum(k0 - jnp.dot(v, v), _SIGMA_FLOOR**2)
     sigma = jnp.sqrt(var)
     ssafe = jnp.maximum(sigma, _SIGMA_FLOOR)
     grad_sigma = -(gkx.T @ w) / ssafe
@@ -242,7 +247,8 @@ def joint_posterior_cov(state: SurrogateState, x):
     gkx = kern.eval_grad_KxX(state.kernel, x, state.X) * m[:, None]
     kxX = jnp.concatenate([kx[None, :], gkx.T], axis=0)  # (d+1, cap)
     kxx = kern.kernel_joint_block(state.kernel, jnp.zeros((state.dim,), dt))
-    S = kxx - kxX @ chol_ops.cho_solve_padded(state.L, kxX.T)
+    A = state.Li @ kxX.T  # (cap, d+1)
+    S = kxx - A.T @ A
     jitter = 1e-10 if dt == jnp.float64 else 1e-6
     S = 0.5 * (S + S.T) + jitter * jnp.eye(state.dim + 1, dtype=dt)
     dmu = jnp.concatenate([jnp.dot(kx, state.c)[None], gkx.T @ state.c])

@@ -26,6 +26,9 @@ __all__ = [
     "solve_lower",
     "solve_upper",
     "chol_append_row",
+    "tri_inv_padded",
+    "psd_apply",
+    "chol_append_row_with_inv",
     "active_mask",
 ]
 
@@ -89,3 +92,59 @@ def chol_append_row(L: jax.Array, kvec: jax.Array, kdiag, n) -> jax.Array:
     new_row = jnp.where(cols < n, l21, jnp.where(cols == n, l22, 0.0))
     rows = cols[:, None]
     return jnp.where(rows == n, new_row[None, :], L)
+
+
+# --------------------------------------------------------------------------
+# Explicit triangular inverse: turns every hot-path triangular solve into a
+# matmul. On TPU a batched triangular solve lowers to sequential blocked
+# substitution; L changes only at (rare) conditioning events while posterior
+# evaluations against it happen thousands of times per trajectory step, so
+# maintaining Li = L^{-1} incrementally moves the entire posterior hot path
+# onto the MXU. Backward error grows from O(eps·cond(L)) componentwise to
+# O(eps·cond(L)) normwise — indistinguishable here thanks to the noise
+# jitter on K's diagonal (reference sigma_n^2 = 1e-6, rbs.jl:83).
+# --------------------------------------------------------------------------
+
+
+def tri_inv_padded(L: jax.Array) -> jax.Array:
+    """Inverse of an identity-padded lower-triangular factor.
+
+    The padding is preserved: L = blockdiag(L_active, I) implies
+    L^{-1} = blockdiag(L_active^{-1}, I).
+    """
+    eye = jnp.eye(L.shape[0], dtype=L.dtype)
+    return solve_triangular(L, eye, lower=True)
+
+
+def psd_apply(Li: jax.Array, b: jax.Array) -> jax.Array:
+    """(L L^T)^{-1} b as two matmuls with Li = L^{-1} (zero-padded b)."""
+    return Li.T @ (Li @ b)
+
+
+def chol_append_row_with_inv(L, Li, kvec, kdiag, n):
+    """`chol_append_row` that also maintains the explicit inverse.
+
+    Appending row [l21^T, l22] to L updates the inverse as
+
+        Li_new = [[Li, 0], [-(1/l22) l21^T Li, 1/l22]],
+
+    i.e. only row n changes: Li_new[n, :n] = -(l21^T Li)/l22,
+    Li_new[n, n] = 1/l22. l21 itself is the matvec Li @ kvec (this replaces
+    the triangular solve in `chol_append_row`). Returns (L_new, Li_new).
+    """
+    cap = L.shape[0]
+    m = active_mask(cap, n, dtype=L.dtype)
+    b = kvec * m
+    l21 = Li @ b  # = L^{-1} kvec_active, zero-padded
+    l22 = jnp.sqrt(jnp.maximum(kdiag - jnp.dot(l21, l21), 1e-12))
+    il22 = 1.0 / l22
+
+    cols = jnp.arange(cap)
+    rows = cols[:, None]
+    new_row_L = jnp.where(cols < n, l21, jnp.where(cols == n, l22, 0.0))
+    L_new = jnp.where(rows == n, new_row_L[None, :], L)
+
+    li_row = -(l21 @ Li) * il22  # (cap,), zero beyond n by padding
+    new_row_Li = jnp.where(cols < n, li_row, jnp.where(cols == n, il22, 0.0))
+    Li_new = jnp.where(rows == n, new_row_Li[None, :], Li)
+    return L_new, Li_new

@@ -184,14 +184,14 @@ def stochastic_solve_stepped(
     opt = AdamState(jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.zeros((), jnp.int32))
     done = np.zeros(R, dtype=bool)
     vals = None
+    dim = xs.shape[1]
     for _ in range(max_iters):
         vals, grads, stds = step(state, tp.rnstream, xs)
         g = np.asarray(grads)
         v = np.asarray(stds) ** 2
-        stop = np.array([
-            bool(eswavs(jnp.asarray(g[r]), jnp.asarray(v[r]), tp.mc_iters))
-            for r in range(R)
-        ])
+        # vectorized eswavs (one host computation, no device round-trips)
+        ratio = np.sum(g**2 / np.maximum(v, 1e-300), axis=1)
+        stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
         done |= stop
         if done.all():
             break

@@ -35,23 +35,27 @@ class SolveResult(NamedTuple):
 _BACKTRACK_STEPS = 9  # trial step sizes 1, 1/2, ..., 1/2^8 (+ "stay put")
 
 
-_DAMPING_LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1.0, 100.0)
-
-
 def _clipped_newton_direction(g, H, ridge):
     """Ascent direction from damped -H (Levenberg-style modified Newton).
 
-    Solves (-H + tau*s*I) p = g for an escalating damping ladder tau
-    (s = a diagonal scale of -H) via batched Cholesky, and picks the least
-    damped solve that is finite and an ascent direction. Cholesky is used
-    instead of an eigendecomposition deliberately: eigh lowers to a very
-    large HLO program on TPU and dominated compile time inside the nested
-    rollout scans.
+    Two batched Cholesky attempts: (a) the undamped system -H + ridge*I,
+    and (b) a Gershgorin-certified shift tau_g that guarantees positive
+    definiteness (tau_g = max(0, max_i(offdiag row sum - diag)) — every
+    Gershgorin disc of A + tau_g I lies in the right half line). The least
+    damped finite ascent direction wins; a scaled gradient is the final
+    fallback. This replaces an escalating 6-level damping ladder — the
+    per-iteration Cholesky work dominated the whole inner solve on TPU and
+    measured argmaxes were identical. Cholesky is used instead of an
+    eigendecomposition deliberately: eigh lowers to a very large HLO
+    program on TPU and dominated compile time inside the nested rollout
+    scans.
     """
     d = g.shape[0]
     A = -H
-    s = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(A))), ridge)
-    taus = jnp.asarray(_DAMPING_LADDER, dtype=g.dtype) * s + ridge
+    diag = jnp.diagonal(A)
+    s = jnp.maximum(jnp.max(jnp.abs(diag)), ridge)
+    off = jnp.sum(jnp.abs(A), axis=1) - jnp.abs(diag)
+    tau_g = jnp.maximum(jnp.max(off - diag), 0.0) + ridge + 1e-6 * s
     eye = jnp.eye(d, dtype=g.dtype)
 
     def solve_one(tau):
@@ -61,6 +65,7 @@ def _clipped_newton_direction(g, H, ridge):
         ok = jnp.all(jnp.isfinite(p)) & (jnp.dot(p, g) > 0.0)
         return p, ok
 
+    taus = jnp.stack([jnp.asarray(ridge, g.dtype), tau_g])
     ps, oks = jax.vmap(solve_one)(taus)
     # first (least damped) valid solve; fall back to scaled gradient
     idx = jnp.argmax(oks)

@@ -15,6 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from rollout_bo_tpu.models import surrogate as sg
+from rollout_bo_tpu.ops import chol as chol_ops
 from rollout_bo_tpu.ops import kernels as kern
 
 __all__ = ["save_state", "load_state", "save_bo_checkpoint", "load_bo_checkpoint"]
@@ -48,6 +49,7 @@ def load_state(path: str) -> sg.SurrogateState:
         c=jnp.asarray(z["c"]),
         n=jnp.asarray(z["n"]),
         noise=jnp.asarray(z["noise"]),
+        Li=chol_ops.tri_inv_padded(jnp.asarray(z["L"])),
     )
 
 
@@ -84,6 +86,7 @@ def load_bo_checkpoint(path: str):
         c=jnp.asarray(z["c"]),
         n=jnp.asarray(z["n"]),
         noise=jnp.asarray(z["noise"]),
+        Li=chol_ops.tri_inv_padded(jnp.asarray(z["L"])),
     )
     metrics = {k[len("metric_"):]: z[k] for k in z.files if k.startswith("metric_")}
     return state, int(z["iteration"]), metrics
