@@ -28,6 +28,7 @@ import numpy as np
 from rollout_bo_tpu.models.decision_rules import DecisionRule
 from rollout_bo_tpu.ops import chol as chol_ops
 from rollout_bo_tpu.ops import kernels as kern
+from rollout_bo_tpu.ops import small_chol
 from rollout_bo_tpu.ops.kernels import RBFKernel
 
 __all__ = [
@@ -265,6 +266,8 @@ def joint_posterior_chol(state: SurrogateState, x):
     full factor under stop_gradient.
     """
     dmu, S = joint_posterior_cov(state, x)
+    if S.shape[-1] <= small_chol.UNROLL_LIMIT:
+        return dmu, small_chol.chol_small(S)
     return dmu, jnp.linalg.cholesky(S)
 
 

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from rollout_bo_tpu.models import surrogate as sg
+from rollout_bo_tpu.ops import small_chol
 from rollout_bo_tpu.rollout.trajectory import sample_path_draw
 
 __all__ = [
@@ -63,7 +64,10 @@ def stochastic_observable(zstream, mode: str = "reparam"):
         # backward on marginally-PD joint covariances in float32.
         dmu, S = sg.joint_posterior_cov(st, x)
         y = dmu[0] + jnp.sqrt(S[0, 0]) * z[0]
-        Ld = jax.lax.stop_gradient(jnp.linalg.cholesky(jax.lax.stop_gradient(S)))
+        Ld = jax.lax.stop_gradient(
+            small_chol.chol_small(jax.lax.stop_gradient(S))
+            if S.shape[-1] <= small_chol.UNROLL_LIMIT
+            else jnp.linalg.cholesky(jax.lax.stop_gradient(S)))
         gy = jax.lax.stop_gradient(dmu[1:] + (Ld @ z)[1:])
         return y, gy
 

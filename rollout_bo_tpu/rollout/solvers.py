@@ -17,9 +17,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
-
 from rollout_bo_tpu.models import surrogate as sg
+from rollout_bo_tpu.ops import small_chol
 from rollout_bo_tpu.models.decision_rules import DecisionRule
 
 __all__ = ["newton_solve_batch", "multistart_maximize", "SolveResult"]
@@ -59,9 +58,10 @@ def _clipped_newton_direction(g, H, ridge):
     eye = jnp.eye(d, dtype=g.dtype)
 
     def solve_one(tau):
-        L = jnp.linalg.cholesky(A + tau * eye)  # NaN if not PD
-        z = solve_triangular(L, g, lower=True)
-        p = solve_triangular(L, z, lower=True, trans=1)
+        # unrolled small-SPD solve (NaN if not PD); avoids the TPU
+        # "Cholesky" custom call that dominated the inner solve (84% in
+        # profiler traces at the headline benchmark scale)
+        p = small_chol.spd_solve_small(A + tau * eye, g)
         ok = jnp.all(jnp.isfinite(p)) & (jnp.dot(p, g) > 0.0)
         return p, ok
 

@@ -37,11 +37,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
-
 from rollout_bo_tpu.models import fantasy as fant
 from rollout_bo_tpu.models import surrogate as sg
 from rollout_bo_tpu.models.decision_rules import DecisionRule
+from rollout_bo_tpu.ops import small_chol
 from rollout_bo_tpu.rollout import solvers
 
 __all__ = [
@@ -188,15 +187,13 @@ def argmax_with_ift(
     A = -Hm
     s = jnp.max(jnp.abs(jnp.diagonal(A)))
     # PD-with-margin test on the free block only (pinned diag stays 1)
-    L_test = jnp.linalg.cholesky(A - htol * s * jnp.diag(free))
+    L_test = small_chol.chol_small(A - htol * s * jnp.diag(free))
     ok_h = jnp.all(jnp.isfinite(L_test)) & (s > 1e-12)
     # sanitize BEFORE the solve: a singular solve poisons the backward
     # pass with NaN even when the primal result is masked out
     A_safe = jnp.where(ok_h, A, eye)
-    Lc = jnp.linalg.cholesky(A_safe)
     rhs = -(gm - _stop(gm))  # Hm delta = gm - stop(gm)  =>  A delta = -(...)
-    z = solve_triangular(Lc, rhs, lower=True)
-    delta = solve_triangular(Lc, z, lower=True, trans=1) * free
+    delta = small_chol.spd_solve_small(A_safe, rhs) * free
     delta = jnp.where(jnp.all(jnp.isfinite(delta)) & ok_h, delta, 0.0)
     return xstar - delta
 
