@@ -40,6 +40,12 @@ _jax.config.update(
     _os.environ.get("ROLLOUT_BO_TPU_MATMUL_PRECISION", "highest"),
 )
 
+# Optional backend override (e.g. ROLLOUT_BO_TPU_PLATFORM=cpu for running
+# the experiment CLIs on host while a TPU job owns the chip). Needed
+# because some environments pin the platform before JAX_PLATFORMS is read.
+if "ROLLOUT_BO_TPU_PLATFORM" in _os.environ:
+    _jax.config.update("jax_platforms", _os.environ["ROLLOUT_BO_TPU_PLATFORM"])
+
 from rollout_bo_tpu import ops, models, rollout, parallel, utils
 
 __version__ = "0.1.0"

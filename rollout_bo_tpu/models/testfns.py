@@ -364,6 +364,7 @@ FUNCTION_REGISTRY: dict[str, Callable[[], TestFunction]] = {
     "griewank2d": lambda: griewank(2),
     "griewank3d": lambda: griewank(3),
     "shekel": shekel,
+    "shekel4d": shekel,  # reference payload name (adaptive_bayesopt.jl:375)
     "dropwave": dropwave,
     "bohachevsky": bohachevsky,
 }

@@ -21,6 +21,7 @@ from scipy.stats import qmc as _scipy_qmc
 
 __all__ = [
     "kronecker_quasirand",
+    "bkronecker_quasirand",
     "sobol_uniform",
     "box_muller",
     "gen_low_discrepancy_sequence",
@@ -44,6 +45,15 @@ def kronecker_quasirand(d: int, n: int, start: int = 0) -> np.ndarray:
     alphas = np.array([np.mod(1.0 / phi ** (j + 1), 1.0) for j in range(d)])
     idx = np.arange(1, n + 1)[:, None] + start
     return np.mod(0.5 + idx * alphas[None, :], 1.0)
+
+
+def bkronecker_quasirand(d: int, n: int, lbs, ubs, start: int = 0) -> np.ndarray:
+    """Kronecker sequence scaled into the box [lbs, ubs], shape (n, d).
+
+    reference: bkronecker_quasirand (low_discrepancy.jl:31-43).
+    """
+    lbs, ubs = np.asarray(lbs, float), np.asarray(ubs, float)
+    return lbs + (ubs - lbs) * kronecker_quasirand(d, n, start)
 
 
 def sobol_uniform(n: int, dim: int = 1, *, skip_zero: bool = True) -> np.ndarray:
