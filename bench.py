@@ -61,14 +61,14 @@ def main():
     rule = EI()
     restarts = jnp.asarray(qmc.generate_batch(num_restarts, f.lbs, f.ubs)[:num_restarts], dtype)
 
-    grad_step = outer_mod.make_batched_grad_step(
-        state, tp, rule, xstarts, inner_iterations=10)
+    sga_step = outer_mod.make_batched_sga_step(
+        state, tp, rule, xstarts, lr=0.01, inner_iterations=10)
 
     def acquire(state, rnstream, restarts):
         xs, vals = outer_mod.stochastic_solve_stepped(
             state, tp._replace(rnstream=rnstream), rule, xstarts, restarts,
             max_iters=sgd_iters, lr=0.01, inner_iterations=10,
-            grad_step=grad_step,
+            sga_step=sga_step,
         )
         j = int(jnp.argmax(vals))
         return xs[j], vals[j]

@@ -24,7 +24,43 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_leading", "replicate", "P", "Mesh", "NamedSharding"]
+__all__ = [
+    "initialize_distributed",
+    "make_mesh",
+    "shard_leading",
+    "replicate",
+    "P",
+    "Mesh",
+    "NamedSharding",
+]
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Join a multi-host process group (the reference's Distributed.addprocs
+    analog, adaptive_bayesopt.jl:92; here: jax.distributed.initialize).
+
+    With no arguments, reads the standard cluster env (TPU pod runtime /
+    JAX_COORDINATOR_ADDRESS etc.). Safe to call on a single host: if no
+    cluster environment is detected it is a no-op. Returns the process
+    count.
+    """
+    already = getattr(jax.distributed, "is_initialized", None)
+    if callable(already) and already():
+        return jax.process_count()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-host / no cluster env: run locally
+        pass
+    return jax.process_count()
 
 
 def make_mesh(

@@ -152,6 +152,50 @@ def make_batched_grad_step(
     return step
 
 
+def make_batched_sga_step(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    *,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """One fused device program: batched simulate + eswavs + Adam update.
+
+    Carry is (xs, AdamState, done, vals); restarts whose eswavs statistic
+    fires are frozen (reference utils.jl:235-265 semantics). Keeping the
+    whole SGA update on device lets the host chain iterations through
+    JAX's async dispatch without a per-iteration round-trip — with a
+    tunneled device the host sync was costing as much as the compute.
+    """
+
+    @jax.jit
+    def step(st, rnstream, carry):
+        xs, opt, done, _ = carry
+        dim = xs.shape[1]
+
+        def one(x0):
+            eto = mc_mod.simulate_trajectory_mc(
+                st, tp._replace(x0=x0, rnstream=rnstream), rule, xstarts,
+                with_gradients=True, iterations=inner_iterations,
+                draw_mode=draw_mode,
+            )
+            return eto.mu, eto.grad_x, eto.std_grad_x
+
+        vals, grads, stds = jax.vmap(one)(xs)
+        ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, 1e-300), axis=1)
+        stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
+        done = done | stop
+        opt2, xs_new = adam_update(opt, xs, grads, lr=lr)
+        xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
+        xs = jnp.where(done[:, None], xs, xs_new)
+        return (xs, opt2, done, vals)
+
+    return step
+
+
 def stochastic_solve_stepped(
     state: sg.SurrogateState,
     tp: TrajectoryParams,
@@ -164,41 +208,41 @@ def stochastic_solve_stepped(
     inner_iterations: int = 12,
     draw_mode: str = "reparam",
     grad_step=None,
+    sga_step=None,
+    sync_every: int = 10,
 ):
-    """Host-stepped multi-restart SGA (same semantics as the fused batch).
+    """Host-chained multi-restart SGA (same semantics as the fused batch).
 
-    Each iteration dispatches one jitted batched value+gradient program and
-    applies Adam + eswavs early stopping on host. Restarts that stop keep
-    their point frozen. Returns (xs (R, d), values (R,)).
+    Dispatches one fused device program per SGA iteration (simulate +
+    eswavs freeze + Adam, see make_batched_sga_step) and only synchronizes
+    with the device every `sync_every` iterations to test the all-stopped
+    early exit — async dispatch keeps the device busy in between. Returns
+    (xs (R, d), values (R,)).
+
+    `grad_step` is accepted for backward compatibility and ignored when
+    `sga_step` is provided.
     """
     import numpy as np
 
     dt = state.X.dtype
     xs = jnp.asarray(starts, dt)
-    R = xs.shape[0]
-    step = grad_step or make_batched_grad_step(
+    step = sga_step or make_batched_sga_step(
         state, tp, rule, xstarts,
-        inner_iterations=inner_iterations, draw_mode=draw_mode,
+        lr=lr, inner_iterations=inner_iterations, draw_mode=draw_mode,
     )
 
     opt = AdamState(jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.zeros((), jnp.int32))
-    done = np.zeros(R, dtype=bool)
-    vals = None
-    dim = xs.shape[1]
-    for _ in range(max_iters):
-        vals, grads, stds = step(state, tp.rnstream, xs)
-        g = np.asarray(grads)
-        v = np.asarray(stds) ** 2
-        # vectorized eswavs (one host computation, no device round-trips)
-        ratio = np.sum(g**2 / np.maximum(v, 1e-300), axis=1)
-        stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
-        done |= stop
-        if done.all():
+    done = jnp.zeros((xs.shape[0],), bool)
+    vals = jnp.zeros((xs.shape[0],), dt)
+    carry = (xs, opt, done, vals)
+    for it in range(max_iters):
+        carry = step(state, tp.rnstream, carry)
+        if (it + 1) % sync_every == 0 and bool(np.all(np.asarray(carry[2]))):
             break
-        opt, xs_new = adam_update(opt, xs, grads, lr=lr)
-        xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
-        xs = jnp.where(jnp.asarray(done)[:, None], xs, xs_new)
-    vals, _, _ = step(state, tp.rnstream, xs)
+    xs, opt, _, _ = carry
+    # one frozen evaluation to report the values AT the final points
+    all_done = jnp.ones((xs.shape[0],), bool)
+    _, _, _, vals = step(state, tp.rnstream, (xs, opt, all_done, vals))
     return xs, vals
 
 

@@ -99,3 +99,31 @@ def test_adaptive_cli_failure_capture(tmp_path, monkeypatch):
     failed = tmp_path / "sixhump" / "sixhump_failed.txt"
     assert failed.exists()
     assert "synthetic failure" in failed.read_text()
+
+
+def test_stepped_matches_fused_batch():
+    """Host-chained SGA (stochastic_solve_stepped) must agree with the
+    fused on-device while-loop (stochastic_solve_batch)."""
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, f.lbs, f.ubs), dt)
+    starts = jnp.asarray(qmc.generate_batch(3, f.lbs, f.ubs)[:3], dt)
+    z = jnp.asarray(qmc.gen_low_discrepancy_sequence(6, f.dim, 2), dt)
+    tp = TrajectoryParams(
+        x0=jnp.zeros((f.dim,), dt), theta=jnp.asarray([0.0], dt),
+        lbs=jnp.asarray(f.lbs, dt), ubs=jnp.asarray(f.ubs, dt), rnstream=z,
+    )
+    kw = dict(max_iters=4, lr=0.05, inner_iterations=4)
+    xs_b, vals_b = outer.stochastic_solve_batch(
+        state, tp, EI(), xstarts, starts, **kw)
+    xs_s, vals_s = outer.stochastic_solve_stepped(
+        state, tp, EI(), xstarts, starts, sync_every=2, **kw)
+    np.testing.assert_allclose(np.asarray(xs_s), np.asarray(xs_b),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_b),
+                               rtol=1e-6, atol=1e-8)
