@@ -15,7 +15,14 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CostFunction", "UniformCost", "NonUniformCost", "UnitCost"]
+__all__ = [
+    "CostFunction",
+    "UniformCost",
+    "NonUniformCost",
+    "UnitCost",
+    "GaussianProcessCost",
+    "cost_weighted_rule",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,3 +59,38 @@ def UniformCost(n: float = 1.0) -> CostFunction:
 
 def UnitCost() -> CostFunction:
     return UniformCost(1.0)
+
+
+def GaussianProcessCost(state) -> CostFunction:
+    """Learned cost model: the posterior mean of a GP fit to observed costs.
+
+    The reference declares this as an empty struct (cost_functions.jl:46-47,
+    never implemented); here it is functional: fit a surrogate to
+    (locations, measured costs) and use its posterior mean, clamped to a
+    small positive floor so cost-weighted acquisitions stay finite.
+    """
+    from rollout_bo_tpu.models import surrogate as sg
+
+    def f(x):
+        p = sg.posterior(state, x)
+        return jnp.maximum(p.mu, 1e-6)
+
+    return CostFunction(f=f, uniform=False)
+
+
+def cost_weighted_rule(rule, cost: CostFunction):
+    """Cost-aware acquisition: alpha(x) / c(x) (EI-per-unit-cost form).
+
+    The reference lists cost-aware acquisition as aspirational
+    (README.md:21-26); this composes any DecisionRule evaluation with a
+    cost model at the solver level. Returns a function
+    (state, x, theta) -> weighted acquisition value suitable for custom
+    solve loops.
+    """
+    from rollout_bo_tpu.models import surrogate as sg
+
+    def alpha_per_cost(state, x, theta):
+        a = sg.acquisition(state, rule, x, theta)
+        return a / jnp.maximum(cost(x), 1e-12)
+
+    return alpha_per_cost

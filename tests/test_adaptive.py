@@ -127,3 +127,32 @@ def test_stepped_matches_fused_batch():
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals_b),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_cost_functions():
+    """Cost models + cost-weighted acquisition (reference cost_functions.jl)."""
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.models import cost_functions as cf
+    from rollout_bo_tpu.models import surrogate as sg
+
+    u = cf.UnitCost()
+    x = jnp.asarray([0.3, -0.2])
+    assert float(u(x)) == 1.0
+    assert np.allclose(np.asarray(u.grad(x)), 0.0)
+
+    nu = cf.NonUniformCost(lambda x: 1.0 + jnp.sum(x**2))
+    assert float(nu(x)) > 1.0
+    np.testing.assert_allclose(np.asarray(nu.grad(x)), 2 * np.asarray(x), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(nu.hess(x)), 2 * np.eye(2), rtol=1e-12)
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    gpc = cf.GaussianProcessCost(state)
+    assert float(gpc(x)) > 0.0
+
+    rule = EI()
+    wa = cf.cost_weighted_rule(rule, nu)
+    a = sg.acquisition(state, rule, x, jnp.asarray([0.0]))
+    assert np.isclose(float(wa(state, x, jnp.asarray([0.0]))),
+                      float(a) / float(nu(x)))
