@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--acquisitions", nargs="+",
                    default=["ei", "poi", "lcb", "random"])
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="snapshot the trial every N iterations (0 = off); "
+                        "a crashed run resumes from the last snapshot")
     return p.parse_args(argv)
 
 
@@ -59,7 +62,9 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     f = testfns.get_function(args.function_name)
-    outdir = args.output_dir or os.path.join("experiments", "myopic", args.function_name)
+    # per-function subdirectory, like the reference's experiments/myopic/<fn>/
+    outdir = os.path.join(args.output_dir or os.path.join("experiments", "myopic"),
+                          args.function_name)
     os.makedirs(outdir, exist_ok=True)
     log.write_metadata(outdir, budget=args.budget,
                        number_of_trials=args.trials,
@@ -82,11 +87,17 @@ def main(argv=None):
         print(f"[{args.function_name}] acquisition={rule.name}")
         for trial in range(args.trials):
             t0 = time.time()
+            ckpt_path = (os.path.join(outdir, f"ckpt_{acq}_{trial}")
+                         if args.checkpoint_every else None)
             res = bo.run_myopic_bo(
                 f, rule, budget=args.budget, theta=theta,
                 num_starts=args.starts, seed=args.seed + trial,
                 x_init=initial_samples[trial],
+                checkpoint_path=ckpt_path,
+                checkpoint_every=args.checkpoint_every or 10,
             )
+            if ckpt_path and os.path.exists(ckpt_path + ".npz"):
+                os.remove(ckpt_path + ".npz")
             for metric, data in [
                 ("times", res.times),
                 ("gaps", res.gaps),

@@ -212,11 +212,11 @@ def posterior(state: SurrogateState, x) -> Posterior:
 
     kx = kern.eval_KxX(state.kernel, x, state.X) * m
     gkx = kern.eval_grad_KxX(state.kernel, x, state.X) * m[:, None]  # (cap, d)
-    Hks = jax.vmap(lambda xi: kern.kernel_hess(state.kernel, x - xi))(state.X)  # (cap,d,d)
 
     mu = jnp.dot(kx, state.c)
     grad_mu = gkx.T @ state.c
-    hess_mu = jnp.einsum("n,nij->ij", state.c * m, Hks)
+    # factored stationary-kernel Hessian contraction (no (cap, d, d) tensor)
+    hess_mu = kern.hess_contraction(state.kernel, x, state.X, state.c * m)
 
     v = state.Li @ kx
     w = state.Li.T @ v
@@ -229,7 +229,7 @@ def posterior(state: SurrogateState, x) -> Posterior:
     hess_sigma = (
         -jnp.outer(grad_sigma, grad_sigma)
         - gkx.T @ Dw
-        - jnp.einsum("n,nij->ij", w * m, Hks)
+        - kern.hess_contraction(state.kernel, x, state.X, w * m)
     ) / ssafe
 
     return Posterior(mu, grad_mu, hess_mu, sigma, grad_sigma, hess_sigma, kx, gkx, w)

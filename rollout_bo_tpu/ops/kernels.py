@@ -178,6 +178,30 @@ def kernel_hess(k: RBFKernel, r: jax.Array):
     return jnp.where(rho > _EPS, away, at0)
 
 
+def hess_contraction(k: RBFKernel, x: jax.Array, X: jax.Array, coeff: jax.Array):
+    """sum_n coeff_n * Hess_x k(x - X_n), without materializing (N, d, d).
+
+    For a stationary radial kernel Hess k(r) = b(rho) r r^T + a(rho) I with
+    a = psi'(rho)/rho and b = (psi''(rho) - a)/rho^2, so the contraction
+    factors into one scalar reduction plus a (d, N) @ (N, d) matmul —
+    MXU-friendly and O(N d^2) memory-free, vs the naive (N, d, d) einsum
+    that dominated HBM traffic in the batched Newton iteration.
+    """
+    dt = X.dtype
+    R = x[None, :] - X                      # (N, d)
+    sq = jnp.sum(R * R, axis=1)
+    rho = jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)) * (sq > 0.0)
+    safe = jnp.where(rho > _EPS, rho, 1.0)
+    dpsi = jax.vmap(k.dpsi)(safe)
+    d2psi = jax.vmap(k.d2psi)(safe)
+    a = jnp.where(rho > _EPS, dpsi / safe, 0.0)
+    b = jnp.where(rho > _EPS, (d2psi - a) / safe**2, 0.0)
+    iso = jnp.where(rho > _EPS, a, k.d2psi(jnp.zeros((), dt)))
+    d = X.shape[1]
+    return (jnp.dot(coeff, iso) * jnp.eye(d, dtype=dt)
+            + R.T @ (R * (coeff * b)[:, None]))
+
+
 def kernel_joint_block(k: RBFKernel, r: jax.Array):
     """Joint (f, grad f) prior covariance block  [[k, -gk^T], [gk, -Hk]].
 

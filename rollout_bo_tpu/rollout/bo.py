@@ -64,11 +64,18 @@ def run_myopic_bo(
     solver_iterations: int = 12,
     dtype=None,
     x_init: np.ndarray | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 10,
 ) -> MyopicBOResult:
     """One myopic BO trial (protocol of myopic_bayesopt.jl:94-263).
 
     5 uniform initial samples, Matern52 + per-iteration MLE in [0.1, 5],
     `num_starts` Sobol multistarts + 2 near-boundary points per solve.
+
+    If `checkpoint_path` is given, the surrogate + metric arrays are
+    snapshotted every `checkpoint_every` iterations and a crashed trial
+    resumes from the last snapshot (the reference cannot resume a trial —
+    SURVEY §5.4).
     """
     kernel = kernel or kern.matern52()
     lbs, ubs = testfn.lbs, testfn.ubs
@@ -114,8 +121,26 @@ def run_myopic_bo(
     times = np.zeros(budget)
     X_all = [np.asarray(x) for x in x_init]
     y_all = list(map(float, y_init))
+    start_b = 0
 
-    for b in range(budget):
+    if checkpoint_path is not None:
+        import os
+
+        from rollout_bo_tpu.utils import checkpoint as ckpt
+
+        if os.path.exists(checkpoint_path if checkpoint_path.endswith(".npz")
+                          else checkpoint_path + ".npz"):
+            state, start_b, saved = ckpt.load_bo_checkpoint(checkpoint_path)
+            gaps[:start_b] = saved["gaps"][:start_b]
+            regrets[:start_b] = saved["simple_regrets"][:start_b]
+            min_obs[:start_b] = saved["minimum_observations"][:start_b]
+            times[:start_b] = saved["times"][:start_b]
+            X_all = [np.asarray(x) for x in saved["X_all"]]
+            y_all = list(map(float, saved["y_all"]))
+            for _ in range(start_b):
+                key, _ = jax.random.split(key)
+
+    for b in range(start_b, budget):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         xnext = solve_step(state, sub)
@@ -132,6 +157,16 @@ def run_myopic_bo(
         X_all.append(np.asarray(xnext))
         y_all.append(float(ynext))
         min_obs[b] = min(y_all)
+
+        if checkpoint_path is not None and (b + 1) % checkpoint_every == 0:
+            from rollout_bo_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_bo_checkpoint(
+                checkpoint_path, state, iteration=b + 1,
+                metrics=dict(gaps=gaps, simple_regrets=regrets,
+                             minimum_observations=min_obs, times=times,
+                             X_all=np.stack(X_all), y_all=np.asarray(y_all)),
+            )
 
     return MyopicBOResult(
         X=np.stack(X_all),

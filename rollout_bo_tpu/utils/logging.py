@@ -16,8 +16,15 @@ import numpy as np
 __all__ = ["create_csv", "write_to_csv", "write_metadata", "read_rows"]
 
 
-def create_csv(path: str, budget: int) -> None:
-    """Create `<path>.csv` with the reference header + -1 sentinel row."""
+def create_csv(path: str, budget: int, *, keep_existing: bool = True) -> None:
+    """Create `<path>.csv` with the reference header + -1 sentinel row.
+
+    With keep_existing (default) an existing file is left untouched, so a
+    resumed sweep keeps the rows of already-completed trials (the
+    reference always truncates, losing them — utils.jl:155-164).
+    """
+    if keep_existing and os.path.exists(path + ".csv"):
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path + ".csv", "w", newline="") as fh:
         w = csv.writer(fh)

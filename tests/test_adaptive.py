@@ -156,3 +156,31 @@ def test_cost_functions():
     a = sg.acquisition(state, rule, x, jnp.asarray([0.0]))
     assert np.isclose(float(wa(state, x, jnp.asarray([0.0]))),
                       float(a) / float(nu(x)))
+
+
+def test_myopic_checkpoint_resume(tmp_path):
+    """A trial interrupted mid-run resumes from its snapshot and matches an
+    uninterrupted run exactly (same PRNG stream reconstruction)."""
+    f = testfns.get_function("sixhump")
+    x_init = qmc.randsample(3, f.dim, f.lbs, f.ubs, np.random.default_rng(2))
+
+    full = bo.run_myopic_bo(
+        f, EI(), budget=6, num_starts=4, seed=11, x_init=x_init,
+        solver_iterations=4,
+    )
+
+    ck = str(tmp_path / "ck")
+    # phase 1: snapshot every 2 iterations, "crash" by monkey truncation —
+    # emulate by running only 4 iterations via a snapshot then restarting
+    bo.run_myopic_bo(
+        f, EI(), budget=4, num_starts=4, seed=11, x_init=x_init,
+        solver_iterations=4, checkpoint_path=ck, checkpoint_every=2,
+    )
+    # phase 2: resume with the full budget; iterations 0..3 come from the
+    # snapshot (taken at iteration 4), 4..5 run live
+    res = bo.run_myopic_bo(
+        f, EI(), budget=6, num_starts=4, seed=11, x_init=x_init,
+        solver_iterations=4, checkpoint_path=ck, checkpoint_every=2,
+    )
+    np.testing.assert_allclose(res.y, full.y, rtol=1e-10)
+    np.testing.assert_allclose(res.gaps, full.gaps, rtol=1e-10)

@@ -43,11 +43,11 @@ def test_myopic_cli_tiny(tmp_path):
         "--function-name", "sixhump", "--budget", "3", "--trials", "2",
         "--starts", "4", "--output-dir", out, "--acquisitions", "ei", "random",
     ])
-    rows = log.read_rows(os.path.join(out, "ei_gaps"))
+    rows = log.read_rows(os.path.join(out, "sixhump", "ei_gaps"))
     assert rows.shape == (2, 3)
     assert np.all(np.isfinite(rows))
-    assert os.path.exists(os.path.join(out, "metadata.txt"))
-    rows_r = log.read_rows(os.path.join(out, "random_minimum_observations"))
+    assert os.path.exists(os.path.join(out, "sixhump", "metadata.txt"))
+    rows_r = log.read_rows(os.path.join(out, "sixhump", "random_minimum_observations"))
     assert rows_r.shape == (2, 3)
 
 
