@@ -45,7 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--variance-reduction", action="store_true",
                    help="use low-discrepancy (QMC) trajectory streams")
     p.add_argument("--deterministic-solve", action="store_true",
-                   help="(reserved) SAA/Gauss-Hermite solve")
+                   help="SAA/Gauss-Hermite solver instead of MC "
+                        "(reference utils.jl:267-306)")
+    p.add_argument("--ghq-nodes", type=int, default=8)
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
     return p.parse_args(argv)
 
@@ -92,6 +94,7 @@ def main(argv=None):
             mle_every=1 if args.optimize else 10**9,
             use_low_discrepancy=args.variance_reduction,
             rule=dr.EI(), x_init=x_init, mesh=mesh,
+            deterministic=args.deterministic_solve, ghq_nodes=args.ghq_nodes,
         )
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_times"), res.times)
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_gaps"), res.gaps)

@@ -6,7 +6,9 @@ from rollout_bo_tpu.rollout import (
     mc,
     outer,
     trust_region,
+    adjoint,
 )
+from rollout_bo_tpu.rollout.adjoint import gradient_adjoint
 from rollout_bo_tpu.rollout.trajectory import (
     TrajectoryParams,
     TrajectoryRecord,

@@ -204,6 +204,8 @@ def run_nonmyopic_bo(
     dtype=None,
     x_init: np.ndarray | None = None,
     mesh=None,
+    deterministic: bool = False,
+    ghq_nodes: int = 8,
 ) -> MyopicBOResult:
     """Non-myopic (rollout-EI) BO trial.
 
@@ -216,6 +218,9 @@ def run_nonmyopic_bo(
     surrogate, and re-optimize kernel hyperparameters.
 
     If `mesh` is given, restarts are sharded across its 'restarts' axis.
+    `deterministic=True` selects the SAA/Gauss-Hermite (variance-free)
+    solver — the reference's `--deterministic-solve` flag
+    (nonmyopic_bayesopt.jl:63-66, utils.jl:267-306).
     """
     from rollout_bo_tpu.rollout import outer as outer_mod
     from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
@@ -247,19 +252,30 @@ def run_nonmyopic_bo(
             z = rng.normal(size=(mc_iters, d + 1, horizon + 1))
         return jnp.asarray(z, dt)
 
-    @jax.jit
-    def acquire(state: sg.SurrogateState, rnstream, restarts):
-        tp = TrajectoryParams(
-            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
-            rnstream=rnstream,
-        )
-        xs, vals = outer_mod.stochastic_solve_batch(
-            state, tp, rule, xstarts, restarts,
-            max_iters=sgd_iters, lr=lr, inner_iterations=solver_iterations,
-            draw_mode=draw_mode,
-        )
-        j = jnp.argmax(vals)
-        return xs[j], vals[j]
+    if deterministic:
+        @jax.jit
+        def acquire(state: sg.SurrogateState, rnstream, restarts):
+            xs, vals = outer_mod.deterministic_solve_batch(
+                state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
+                horizon=horizon, num_nodes=ghq_nodes, max_iters=sgd_iters,
+                lr=lr, inner_iterations=solver_iterations,
+            )
+            j = jnp.argmax(vals)
+            return xs[j], vals[j]
+    else:
+        @jax.jit
+        def acquire(state: sg.SurrogateState, rnstream, restarts):
+            tp = TrajectoryParams(
+                x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
+                rnstream=rnstream,
+            )
+            xs, vals = outer_mod.stochastic_solve_batch(
+                state, tp, rule, xstarts, restarts,
+                max_iters=sgd_iters, lr=lr, inner_iterations=solver_iterations,
+                draw_mode=draw_mode,
+            )
+            j = jnp.argmax(vals)
+            return xs[j], vals[j]
 
     @jax.jit
     def observe(state: sg.SurrogateState, xnext):
