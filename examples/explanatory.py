@@ -13,6 +13,11 @@ Run:  python examples/explanatory.py [--horizon 2] [--mc 64] [--grid 21]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -46,6 +46,6 @@ _jax.config.update(
 if "ROLLOUT_BO_TPU_PLATFORM" in _os.environ:
     _jax.config.update("jax_platforms", _os.environ["ROLLOUT_BO_TPU_PLATFORM"])
 
-from rollout_bo_tpu import ops, models, rollout, parallel, utils
+from rollout_bo_tpu import constants, ops, models, rollout, parallel, utils
 
 __version__ = "0.1.0"

@@ -48,7 +48,9 @@ __all__ = [
     "acquisition_grad",
     "acquisition_value_grad_hess",
     "log_likelihood",
+    "dlog_likelihood",
     "grad_log_likelihood",
+    "lazy_posterior",
     "optimize_hypers",
     "DEFAULT_CAPACITY",
 ]
@@ -407,6 +409,52 @@ def optimize_hypers(
     z = jnp.zeros_like(lt0)
     lt, _, _ = jax.lax.fori_loop(0, iterations, body, (lt0, z, z))
     return set_kernel(state, state.kernel.replace_theta(jnp.exp(lt)))
+
+
+def dlog_likelihood(state: SurrogateState, dtheta):
+    """Directional derivative of the log-likelihood along dtheta.
+
+    reference: δlog_likelihood (rbs.jl:778-785), which contracts the
+    directional kernel-matrix derivative eval_Dθ_KXX with (cc' - K^{-1});
+    here the same scalar is one jvp through refit + log_likelihood.
+    """
+    dtheta = jnp.asarray(dtheta, state.kernel.theta.dtype)
+    _, tangent = jax.jvp(
+        lambda th: _ll_of_theta(th, state), (state.kernel.theta,), (dtheta,)
+    )
+    return tangent
+
+
+def lazy_posterior(state: SurrogateState, x, rule: DecisionRule | None = None,
+                   theta=None):
+    """Host-side lazily-forced posterior record (reference `sx`, rbs.jl:224-310).
+
+    Returns a `LazyStruct` whose properties mirror the reference's
+    LazyStruct field names: mu, grad_mu ("∇μ"), hess_mu, sigma, grad_sigma,
+    hess_sigma, dsigma (joint (f,∇f) predictive Cholesky), and — when a
+    decision rule is given — alpha, grad_alpha, hess_alpha. Each thunk
+    shares the jitted `posterior` result, so forcing several quantities
+    costs one evaluation. For jit/scan code use `posterior()` directly
+    (XLA DCE provides the laziness there).
+    """
+    from rollout_bo_tpu.utils.lazy import LazyStruct
+
+    s = LazyStruct()
+    s.p = lambda: posterior(state, x)
+    s.mu = lambda: s.p.mu
+    s.grad_mu = lambda: s.p.grad_mu
+    s.hess_mu = lambda: s.p.hess_mu
+    s.sigma = lambda: s.p.sigma
+    s.grad_sigma = lambda: s.p.grad_sigma
+    s.hess_sigma = lambda: s.p.hess_sigma
+    s.dmu_dsigma = lambda: joint_posterior_chol(state, x)
+    s.dsigma = lambda: s.dmu_dsigma[1]
+    if rule is not None:
+        th = jnp.zeros((1,), state.X.dtype) if theta is None else theta
+        s.alpha = lambda: acquisition(state, rule, x, th)
+        s.grad_alpha = lambda: acquisition_grad(state, rule, x, th)[1]
+        s.hess_alpha = lambda: acquisition_value_grad_hess(state, rule, x, th)[2]
+    return s
 
 
 def from_numpy(X: np.ndarray, y: np.ndarray, **kw) -> SurrogateState:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TestFunction", "get_function", "FUNCTION_REGISTRY"]
+__all__ = ["TestFunction", "get_function", "FUNCTION_REGISTRY", "tplot"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +78,39 @@ class TestFunction:
         return TestFunction(self.dim, self.bounds,
                             tuple(np.asarray(x) + s for x in self.xopt),
                             lambda x: self.f(x + jnp.asarray(s)))
+
+
+def tplot(t: TestFunction, *, num_points: int = 200, ax=None, levels: int = 30):
+    """Plot a 1-D curve or 2-D contour of a test function.
+
+    reference: tplot (testfns.jl:99-114). matplotlib is imported lazily so
+    the package has no hard plotting dependency; raises for dim > 2 like
+    the reference.
+    """
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots()
+    lbs, ubs = t.lbs, t.ubs
+    if t.dim == 1:
+        xs = np.linspace(lbs[0], ubs[0], num_points)
+        ys = np.asarray(t.batch(xs[:, None]))
+        ax.plot(xs, ys)
+        ax.set_xlabel("x")
+        ax.set_ylabel("f(x)")
+    elif t.dim == 2:
+        xs = np.linspace(lbs[0], ubs[0], num_points)
+        ys = np.linspace(lbs[1], ubs[1], num_points)
+        XX, YY = np.meshgrid(xs, ys)
+        pts = np.stack([XX.ravel(), YY.ravel()], axis=1)
+        ZZ = np.asarray(t.batch(pts)).reshape(XX.shape)
+        cs = ax.contourf(XX, YY, ZZ, levels=levels)
+        ax.figure.colorbar(cs, ax=ax)
+        ax.set_xlabel("x1")
+        ax.set_ylabel("x2")
+    else:
+        raise ValueError("Can only plot 1- or 2-dimensional TestFunctions")
+    return ax
 
 
 def _collapse_bounds(t1: TestFunction, t2: TestFunction) -> np.ndarray:

@@ -56,16 +56,17 @@ def bkronecker_quasirand(d: int, n: int, lbs, ubs, start: int = 0) -> np.ndarray
     return lbs + (ubs - lbs) * kronecker_quasirand(d, n, start)
 
 
-def sobol_uniform(n: int, dim: int = 1, *, skip_zero: bool = True) -> np.ndarray:
+def sobol_uniform(n: int, dim: int = 1, *, skip_zero: bool = True,
+                  start: int = 0) -> np.ndarray:
     """Unscrambled Sobol points in [0,1]^dim, shape (n, dim).
 
     Julia's Sobol.jl `next!` never emits the all-zeros point (reference
     utils.jl:4-13 relies on that — a zero would blow up Box-Muller), so we
-    skip it too by default.
+    skip it too by default. `start` fast-forwards a further `start` points
+    (disjoint stream segments for successive BO iterations).
     """
     s = _scipy_qmc.Sobol(d=dim, scramble=False)
-    if skip_zero:
-        s.fast_forward(1)
+    s.fast_forward((1 if skip_zero else 0) + start)
     return s.random(n)
 
 
@@ -89,16 +90,20 @@ def box_muller(S: np.ndarray, *, log10_parity: bool = False) -> np.ndarray:
 
 
 def gen_low_discrepancy_sequence(
-    samples: int, dim: int, horizon: int, *, log10_parity: bool = False
+    samples: int, dim: int, horizon: int, *, log10_parity: bool = False,
+    start: int = 0,
 ) -> np.ndarray:
     """Low-discrepancy normal tensor of shape (samples, dim+1, horizon).
 
     One (f, grad f) joint draw column per trajectory step; reference:
-    utils.jl:65-74 (M x (d+1) x (h+1) rollout sample tensor).
+    utils.jl:65-74 (M x (d+1) x (h+1) rollout sample tensor). `start`
+    offsets into the Sobol stream by `start * samples * horizon` points so
+    successive BO iterations can consume disjoint QMC segments.
     """
     width = dim + 1
     offset = 1 if width % 2 == 1 else 0
-    S = sobol_uniform(samples * horizon, dim=width + offset)
+    S = sobol_uniform(samples * horizon, dim=width + offset,
+                      start=start * samples * horizon)
     N = box_muller(S, log10_parity=log10_parity)
     # reference reshapes column-major (Julia); replicate that layout
     N = np.reshape(N, (samples, horizon, width + offset), order="F").transpose(0, 2, 1)

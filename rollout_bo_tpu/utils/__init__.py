@@ -1,1 +1,1 @@
-from rollout_bo_tpu.utils import metrics, logging, checkpoint, profiling
+from rollout_bo_tpu.utils import metrics, logging, checkpoint, profiling, lazy, experiment

@@ -16,3 +16,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the suite is dominated by XLA compiles of the
+# rollout programs (each one scan-of-Newton-solves); caching them makes
+# repeat runs start warm. Safe across platforms — keys include the target.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
