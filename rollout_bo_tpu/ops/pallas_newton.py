@@ -1,0 +1,616 @@
+"""Pallas TPU kernel: batched multistart projected-Newton acquisition solve.
+
+The rollout hot loop (SURVEY §3.2) solves, at every fantasy step of every
+Monte-Carlo trajectory of every outer restart, a multistart Newton
+maximization of the acquisition on a tiny GP (capacity ~24, d ~10). That
+is ~16k independent solves per rollout step, each made of tiny matrix
+algebra — far below MXU tile sizes, so the XLA lowering spends most of its
+time in layout copies and under-filled vector ops (profiled: the batched
+(8,200,10,10,10) Hessian-assembly fusions plus pure layout `copy`s
+dominate device time).
+
+This kernel runs the ENTIRE multistart Newton solve — posterior + EI
+derivatives, active-set reduction, Gershgorin-damped Newton direction via
+unrolled lane-vectorized Cholesky, two-direction backtracking, start
+argmax — in one Pallas program with the *lane* (= flattened trajectory x
+restart) axis as the vector dimension:
+
+- every per-lane array is laid out (..., LANE_BLOCK) so each scalar of
+  the solve is a full (128,) VPU vector across lanes;
+- the per-lane GP state (X^T, K^{-1}, c) stays resident in VMEM across
+  all starts x iterations — it is read from HBM exactly once;
+- there is no MXU work at all: K^{-1} is precomputed outside (one real
+  batched matmul), and everything inside is elementwise + small
+  reductions, which is exactly what the VPU is for.
+
+Only the FORWARD solve lives here: the caller (rollout/trajectory.py
+argmax_with_ift) differentiates through the implicit-function-theorem
+linearization, never through the solver, so no custom VJP is needed.
+
+Semantics mirror `rollout/solvers.py::newton_solve_batch` line by line
+(reference: the serial Optim.IPNewton multistart of rbf_optim.jl:68-134).
+Equivalence is pinned by tests/test_pallas_newton.py (interpret mode) and
+the on-TPU A/B in scripts/ab_pallas_solver.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "SUPPORTED_KINDS",
+    "SUPPORTED_RULES",
+    "newton_solve_lanes",
+    "supported",
+]
+
+LANE_BLOCK = 128
+_BACKTRACK_STEPS = 9          # must match solvers._BACKTRACK_STEPS
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT2PI = 0.3989422804014327
+_Z_CLAMP = 30.0               # must match decision_rules._Z_CLAMP
+_EPS = 1e-14                  # must match ops.kernels._EPS
+
+SUPPORTED_KINDS = ("matern52", "matern32", "matern12", "squared_exponential")
+SUPPORTED_RULES = ("EI", "POI", "LCB")
+
+
+def supported(kind: str, rule_name: str) -> bool:
+    return kind in SUPPORTED_KINDS and rule_name in SUPPORTED_RULES
+
+
+# --------------------------------------------------------------------------
+# Radial profiles: psi(rho), a(rho) = psi'(rho)/rho, b(rho) = (psi''-a)/rho^2
+# (the factored stationary-Hessian coefficients of ops.kernels
+# .hess_contraction), hand-derived per family so no autodiff runs inside
+# the kernel. `iso` is a at rho>0 and psi''(0) at rho=0 (kernels.py:199).
+# --------------------------------------------------------------------------
+
+
+def _profile_terms(kind: str, rho, sq, ell):
+    """Return (psi, a, b, iso) elementwise for rho = sqrt(sq) >= 0."""
+    pos = rho > _EPS
+    if kind == "matern52":
+        c = jnp.sqrt(5.0) / ell
+        s = c * rho
+        e = jnp.exp(-s)
+        psi = (1.0 + s * (1.0 + s / 3.0)) * e
+        a_pos = -(c * c / 3.0) * (1.0 + s) * e
+        a = a_pos                              # smooth through 0
+        b = (c**4 / 3.0) * e
+        iso = a_pos                            # a(0) = psi''(0) = -c^2/3
+        return psi, jnp.where(pos, a, 0.0), jnp.where(pos, b, 0.0), iso
+    if kind == "matern32":
+        c = jnp.sqrt(3.0) / ell
+        s = c * rho
+        e = jnp.exp(-s)
+        psi = (1.0 + s) * e
+        a = -c * c * e
+        safe = jnp.where(pos, s, 1.0)
+        b = jnp.where(pos, c**4 * e / safe, 0.0)
+        iso = jnp.where(pos, a, -c * c)        # psi''(0) = -c^2
+        return psi, jnp.where(pos, a, 0.0), b, iso
+    if kind == "matern12":
+        c = 1.0 / ell
+        e = jnp.exp(-c * rho)
+        psi = e
+        safe = jnp.where(pos, rho, 1.0)
+        a = jnp.where(pos, -c * e / safe, 0.0)
+        # psi' = -c e, psi'' = c^2 e; b = (psi'' - a)/rho^2
+        b = jnp.where(pos, (c * c * e - a) / jnp.where(pos, sq, 1.0), 0.0)
+        iso = jnp.where(pos, a, c * c)         # psi''(0) = c^2
+        return psi, a, b, iso
+    if kind == "squared_exponential":
+        l2 = ell * ell
+        psi = jnp.exp(-sq / (2.0 * l2))
+        a = -psi / l2
+        b = psi / (l2 * l2)
+        iso = a
+        return psi, a, b, iso
+    raise ValueError(f"unsupported kernel kind {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# Decision-rule value + partials (match models/decision_rules.py exactly:
+# jax.grad of the guarded forms gives 0 beyond the z clamp and below the
+# sigma tolerance, reproduced here with the same where masks).
+# --------------------------------------------------------------------------
+
+
+def _erf(x):
+    """float32 erf — Eigen's generic_fast_erf_float rational approximation
+    (the same polynomial XLA lowers jax.lax.erf to for f32), because Mosaic
+    has no erf primitive. Max error ~1 ulp over the clamped range.
+    """
+    x = jnp.clip(x, -3.832506856900711, 3.832506856900711)
+    x2 = x * x
+    alpha = (-2.72614225801306e-10, 2.77068142495902e-08,
+             -2.10102402082508e-06, -5.69250639462346e-05,
+             -7.34990630326855e-04, -2.95459980854025e-03,
+             -1.60960333262415e-02)
+    beta = (-1.45660718464996e-05, -2.13374055278905e-04,
+            -1.68282697438203e-03, -7.37332916720468e-03,
+            -1.42647390514189e-02)
+    num = jnp.full_like(x2, alpha[0])
+    for a in alpha[1:]:
+        num = num * x2 + a
+    num = num * x
+    den = jnp.full_like(x2, beta[0])
+    for b in beta[1:]:
+        den = den * x2 + b
+    return num / den
+
+
+def _norm_cdf(z):
+    return 0.5 * (1.0 + _erf(z * _INV_SQRT2))
+
+
+def _norm_pdf(z):
+    return _INV_SQRT2PI * jnp.exp(-0.5 * z * z)
+
+
+def _rule_value(rule: str, mu, sigma, th, fmini, sigma_tol):
+    if rule == "LCB":
+        return th * sigma - mu
+    s = jnp.maximum(sigma, sigma_tol)
+    imp = fmini - mu - th
+    z = jnp.clip(imp / s, -_Z_CLAMP, _Z_CLAMP)
+    if rule == "EI":
+        val = imp * _norm_cdf(z) + s * _norm_pdf(z)
+    else:  # POI
+        val = _norm_cdf(z)
+    return jnp.where(sigma < sigma_tol, 0.0, val)
+
+
+def _rule_partials(rule: str, mu, sigma, th, fmini, sigma_tol):
+    """(gmu, gsig, gmumu, gsigsig, gmusig) with the guard masks of
+    jax.grad through models.decision_rules._ei/_poi/_lcb."""
+    one = jnp.ones_like(mu)
+    zero = jnp.zeros_like(mu)
+    if rule == "LCB":
+        return -one, th * one, zero, zero, zero
+    s = jnp.maximum(sigma, sigma_tol)
+    imp = fmini - mu - th
+    zraw = imp / s
+    z = jnp.clip(zraw, -_Z_CLAMP, _Z_CLAMP)
+    # inside the clamp the clip is identity; outside, d z/d mu = 0 so all
+    # z-chains die (matching jax.grad of jnp.clip)
+    live = (jnp.abs(zraw) < _Z_CLAMP).astype(mu.dtype)
+    # below sigma_tol, s is constant in sigma (jnp.maximum subgradient)
+    dsig = (sigma > sigma_tol).astype(mu.dtype)
+    phi = _norm_pdf(z)
+    if rule == "EI":
+        # inside the clamp: d val/dmu = -Phi(z); outside, z is the clamped
+        # constant c and d[imp*Phi(c)+s*phi(c)]/dmu = -Phi(c) -- same form
+        gmu = -_norm_cdf(z)
+        # d val/ds = phi(z) both inside and outside the clamp
+        gsig = phi * dsig
+        gmumu = live * phi / s
+        gsigsig = live * z * z * phi / s * dsig * dsig
+        gmusig = live * z * phi / s * dsig
+    else:  # POI
+        gmu = -live * phi / s
+        gsig = -live * z * phi / s * dsig
+        gmumu = -live * z * phi / (s * s)
+        gsigsig = live * z * (2.0 - z * z) * phi / (s * s) * dsig * dsig
+        gmusig = live * (1.0 - z * z) * phi / (s * s) * dsig
+    guard = (sigma >= sigma_tol).astype(mu.dtype)
+    return (gmu * guard, gsig * guard, gmumu * guard, gsigsig * guard,
+            gmusig * guard)
+
+
+# --------------------------------------------------------------------------
+# Lane-vectorized small linear algebra: every "scalar" is a (B,) vector.
+# --------------------------------------------------------------------------
+
+
+def _chol_solve_lanes(A, g, d: int):
+    """Solve A p = g for SPD A (d, d, B); NaN lanes when not PD.
+
+    Unrolled Cholesky + both substitutions (ops/small_chol.py pattern)
+    with lanes as the trailing vector axis.
+    """
+    L = [[None] * d for _ in range(d)]
+    for j in range(d):
+        s = A[j, j] - sum((L[j][k] * L[j][k] for k in range(j)), start=0.0)
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, d):
+            t = A[i, j] - sum((L[i][k] * L[j][k] for k in range(j)), start=0.0)
+            L[i][j] = t * inv
+    z = [None] * d
+    for i in range(d):
+        acc = g[i] - sum((L[i][k] * z[k] for k in range(i)), start=0.0)
+        z[i] = acc / L[i][i]
+    p = [None] * d
+    for i in reversed(range(d)):
+        acc = z[i] - sum((L[k][i] * p[k] for k in range(i + 1, d)), start=0.0)
+        p[i] = acc / L[i][i]
+    return jnp.stack(p, axis=0)  # (d, B)
+
+
+# --------------------------------------------------------------------------
+# The kernel
+# --------------------------------------------------------------------------
+
+
+def _posterior_mu_sigma(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
+    """(mu, sigma) at x (d, B); all per-lane arrays lane-last."""
+    R = x[:, None, :] - Xt                      # (d, cap, B)
+    sq = jnp.sum(R * R, axis=0)                 # (cap, B)
+    rho = jnp.sqrt(jnp.maximum(sq, 0.0))
+    psi, _, _, _ = _profile_terms(kind, rho, sq, ell)
+    kx = psi * mask
+    w = jnp.sum(W * kx[None, :, :], axis=1)     # (cap, B)
+    mu = jnp.sum(kx * c, axis=0)                # (B,)
+    var = jnp.maximum(k0 - jnp.sum(kx * w, axis=0), sigma_floor**2)
+    return mu, jnp.sqrt(var)
+
+
+def _posterior_full(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
+    """mu, grad_mu, hess_mu, sigma, grad_sigma, hess_sigma (lane-last).
+
+    Mirrors models/surrogate.py::posterior with W = K^{-1} replacing the
+    two triangular applications of Li.
+    """
+    d = x.shape[0]
+    R = x[:, None, :] - Xt                      # (d, cap, B)
+    sq = jnp.sum(R * R, axis=0)                 # (cap, B)
+    rho = jnp.sqrt(jnp.maximum(sq, 0.0))
+    psi, a, b, iso = _profile_terms(kind, rho, sq, ell)
+    kx = psi * mask                             # (cap, B)
+    gkx = a[None, :, :] * R * mask[None, :, :]  # (d, cap, B)
+
+    mu = jnp.sum(kx * c, axis=0)                # (B,)
+    grad_mu = jnp.sum(gkx * c[None, :, :], axis=1)  # (d, B)
+
+    w = jnp.sum(W * kx[None, :, :], axis=1)     # (cap, B)
+    var = jnp.maximum(k0 - jnp.sum(kx * w, axis=0), sigma_floor**2)
+    sigma = jnp.sqrt(var)
+    ssafe = jnp.maximum(sigma, sigma_floor)
+    grad_sigma = -jnp.sum(gkx * w[None, :, :], axis=1) / ssafe  # (d, B)
+
+    # hess_mu = (c . iso) I + R^T diag(c*b) R   (factored contraction)
+    cm = c * mask
+    iso_c = jnp.sum(cm * jnp.where(rho > _EPS, a, iso), axis=0)  # (B,)
+    cb = cm * b                                  # (cap, B)
+    # hess_sigma needs Dw = K^{-1} gkx^T: (cap, d, B) via d column solves
+    rows_hm = []
+    rows_hs = []
+    wm = w * mask
+    iso_w = jnp.sum(wm * jnp.where(rho > _EPS, a, iso), axis=0)
+    wb = wm * b
+    Dw = [jnp.sum(W * gkx[k][None, :, :], axis=1) for k in range(d)]  # d x (cap, B)
+    eye_np = jnp.eye(d, dtype=x.dtype)  # static; avoids scatter-add (Mosaic)
+    for i in range(d):
+        hm_i = jnp.sum(R * (R[i] * cb)[None, :, :], axis=1)          # (d, B)
+        hm_i = hm_i + eye_np[i][:, None] * iso_c[None, :]
+        rows_hm.append(hm_i)
+        gDw_i = jnp.stack(
+            [jnp.sum(gkx[i] * Dw[kk], axis=0) for kk in range(d)], axis=0
+        )                                                            # (d, B)
+        hw_i = jnp.sum(R * (R[i] * wb)[None, :, :], axis=1)          # (d, B)
+        hs_i = (
+            -grad_sigma[i][None, :] * grad_sigma
+            - gDw_i
+            - hw_i
+            - eye_np[i][:, None] * iso_w[None, :]
+        )
+        rows_hs.append(hs_i)
+    hess_mu = jnp.stack(rows_hm, axis=0)        # (d, d, B)
+    hess_sigma = jnp.stack(rows_hs, axis=0) / ssafe[None, None, :]
+    return mu, grad_mu, hess_mu, sigma, grad_sigma, hess_sigma
+
+
+def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
+                 rule: str, sigma_tol: float, sigma_floor: float,
+                 ridge: float):
+    ts = [0.5**k for k in range(_BACKTRACK_STEPS)]
+    neg_inf = float("-inf")
+
+    def kernel(params_ref, xstarts_ref, bounds_ref,
+               Xt_ref, W_ref, c_ref, fmini_ref, nn_ref, th_ref,
+               xout_ref, vout_ref):
+        ell = params_ref[0, 0]
+        k0 = params_ref[0, 1]
+        Xt = Xt_ref[:]                          # (d, cap, B)
+        W = W_ref[:]                            # (cap, cap, B)
+        c = c_ref[:]                            # (cap, B)
+        fmini = fmini_ref[0, :]                 # (B,)
+        nn = nn_ref[0, :]                       # (B,) float active count
+        th = th_ref[0, :]                       # (B,) rule theta[0]
+        dt = c.dtype
+        B = c.shape[-1]
+        lbs = [bounds_ref[0, i] for i in range(d)]
+        ubs = [bounds_ref[1, i] for i in range(d)]
+        scale = bounds_ref[2, 0]
+        boundary_tol = 1e-9 * scale
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cap, B), 0).astype(dt)
+        mask = (rows < nn[None, :]).astype(dt)
+        lbs_v = jnp.stack([jnp.full((B,), lbs[i], dt) for i in range(d)])
+        ubs_v = jnp.stack([jnp.full((B,), ubs[i], dt) for i in range(d)])
+
+        def value(x):
+            mu, sigma = _posterior_mu_sigma(
+                x, Xt, W, c, mask, kind, ell, k0, sigma_floor)
+            return _rule_value(rule, mu, sigma, th, fmini, sigma_tol)
+
+        def one_iteration(_, x):
+            mu, gmu_v, Hmu, sigma, gsig_v, Hsig = _posterior_full(
+                x, Xt, W, c, mask, kind, ell, k0, sigma_floor)
+            a0 = _rule_value(rule, mu, sigma, th, fmini, sigma_tol)
+            gmu, gsig, gmumu, gsigsig, gmusig = _rule_partials(
+                rule, mu, sigma, th, fmini, sigma_tol)
+            g = gmu[None, :] * gmu_v + gsig[None, :] * gsig_v     # (d, B)
+            H = (
+                gmumu[None, None, :] * gmu_v[:, None, :] * gmu_v[None, :, :]
+                + gmu[None, None, :] * Hmu
+                + gsigsig[None, None, :] * gsig_v[:, None, :] * gsig_v[None, :, :]
+                + gsig[None, None, :] * Hsig
+                + gmusig[None, None, :] * (
+                    gmu_v[:, None, :] * gsig_v[None, :, :]
+                    + gsig_v[:, None, :] * gmu_v[None, :, :]
+                )
+            )                                                      # (d, d, B)
+
+            # active-set reduction (solvers.py one_iteration)
+            act_lo = (x <= lbs_v + boundary_tol) & (g < 0.0)
+            act_hi = (x >= ubs_v - boundary_tol) & (g > 0.0)
+            free = (~(act_lo | act_hi)).astype(x.dtype)            # (d, B)
+            gf = g * free
+            eye3 = jnp.eye(d, dtype=dt)[:, :, None]
+            Hf = (H * free[:, None, :] * free[None, :, :]
+                  - eye3 * (1.0 - free)[:, None, :])
+
+            # Gershgorin-damped Newton direction (_clipped_newton_direction)
+            A = -Hf
+            diag = jnp.stack([A[i, i] for i in range(d)])          # (d, B)
+            s_scale = jnp.maximum(jnp.max(jnp.abs(diag), axis=0), ridge)
+            absA = jnp.abs(A)
+            off = jnp.sum(absA, axis=1) - jnp.abs(diag)            # (d, B)
+            tau_g = jnp.maximum(jnp.max(off - diag, axis=0), 0.0) \
+                + ridge + 1e-6 * s_scale                           # (B,)
+
+            def solve_tau(tau):
+                At = A + tau[None, None, :] * jnp.eye(d, dtype=x.dtype)[:, :, None]
+                p = _chol_solve_lanes(At, gf, d)
+                ok = jnp.all(jnp.isfinite(p), axis=0) & (
+                    jnp.sum(p * gf, axis=0) > 0.0)
+                return p, ok
+
+            p1, ok1 = solve_tau(jnp.full((B,), ridge, dt))
+            p2, ok2 = solve_tau(tau_g)
+            p = jnp.where(ok1[None, :], p1,
+                          jnp.where(ok2[None, :], p2, gf / s_scale[None, :]))
+            p = p * free
+
+            bad = (~jnp.all(jnp.isfinite(p), axis=0)) | (
+                jnp.sum(p * gf, axis=0) <= 0.0)
+            gnorm = jnp.sqrt(jnp.sum(gf * gf, axis=0))
+            gstep = gf / jnp.maximum(gnorm, 1e-12)[None, :] * (0.1 * scale)
+            p = jnp.where(bad[None, :], gstep, p)
+            pnorm = jnp.sqrt(jnp.sum(p * p, axis=0))
+            p = p * jnp.minimum(1.0, scale / jnp.maximum(pnorm, 1e-30))[None, :]
+
+            a0 = jnp.where(jnp.isfinite(a0), a0, neg_inf)
+            best_v = a0
+            best_x = x
+            improved = jnp.zeros((B,), bool)
+            for direction in (p, gstep):
+                for t in ts:
+                    cand = jnp.clip(x + t * direction, lbs_v, ubs_v)
+                    v = value(cand)
+                    v = jnp.where(jnp.isfinite(v), v, neg_inf)
+                    upd = v > best_v
+                    best_v = jnp.where(upd, v, best_v)
+                    best_x = jnp.where(upd[None, :], cand, best_x)
+                    improved = improved | upd
+            return jnp.where(improved[None, :], best_x, x)
+
+        def one_start(s_idx, carry):
+            best_v, best_x = carry
+            x0 = jnp.stack([
+                jnp.clip(jnp.full((B,), xstarts_ref[s_idx, i], dt),
+                         lbs[i], ubs[i])
+                for i in range(d)
+            ])                                                     # (d, B)
+            xf = jax.lax.fori_loop(0, iterations, one_iteration, x0)
+            vf = value(xf)
+            vf = jnp.where(jnp.isfinite(vf), vf, neg_inf)
+            upd = vf > best_v
+            best_v = jnp.where(upd, vf, best_v)
+            best_x = jnp.where(upd[None, :], xf, best_x)
+            return best_v, best_x
+
+        best_v, best_x = jax.lax.fori_loop(
+            0, S, one_start,
+            (jnp.full((B,), neg_inf, dt), jnp.zeros((d, B), dt)))
+        xout_ref[:] = best_x
+        vout_ref[0, :] = best_v
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "rule", "iterations", "sigma_tol",
+                     "sigma_floor", "ridge", "interpret"),
+)
+def newton_solve_lanes(
+    X,            # (L, cap, d)
+    W,            # (L, cap, cap)  K^{-1} per lane (identity-padded ok)
+    c,            # (L, cap)
+    n,            # (L,) int32 active counts
+    fmini,        # (L,) incumbent minimum per lane
+    theta0,       # (L,) rule theta[0] per lane
+    ell,          # () kernel lengthscale
+    lbs,          # (d,)
+    ubs,          # (d,)
+    xstarts,      # (S, d)
+    *,
+    kind: str = "matern52",
+    rule: str = "EI",
+    iterations: int = 12,
+    sigma_tol: float = 1e-8,
+    sigma_floor: float = 1e-10,
+    ridge: float = 1e-8,
+    interpret: bool = False,
+):
+    """Multistart Newton argmax per lane. Returns (xstar (L, d), v (L,)).
+
+    All compute in float32 (the TPU rollout dtype). `W` must be K^{-1} of
+    the active block with identity padding (padded rows/cols contribute
+    nothing because kx is masked).
+    """
+    L, cap, d = X.shape
+    S = xstarts.shape[0]
+    f32 = jnp.float32
+    Lp = ((L + LANE_BLOCK - 1) // LANE_BLOCK) * LANE_BLOCK
+
+    def pad(a, axis=0):
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, Lp - L)
+        return jnp.pad(a, widths)
+
+    Xt = pad(jnp.transpose(X.astype(f32), (2, 1, 0)), axis=2)       # (d, cap, Lp)
+    Wt = pad(jnp.transpose(W.astype(f32), (1, 2, 0)), axis=2)       # (cap, cap, Lp)
+    ct = pad(jnp.transpose(c.astype(f32), (1, 0)), axis=1)          # (cap, Lp)
+    fm = pad(fmini.astype(f32)[None, :], axis=1)                    # (1, Lp)
+    nn = pad(n.astype(f32)[None, :], axis=1)                        # (1, Lp)
+    th = pad(theta0.astype(f32)[None, :], axis=1)                   # (1, Lp)
+
+    lbs = jnp.asarray(lbs, f32)
+    ubs = jnp.asarray(ubs, f32)
+    scale = jnp.max(ubs - lbs)
+    bounds = jnp.zeros((3, d), f32).at[0].set(lbs).at[1].set(ubs)
+    bounds = bounds.at[2, 0].set(scale)
+    k0 = _profile_terms(kind, jnp.zeros((), f32), jnp.zeros((), f32),
+                        jnp.asarray(ell, f32))[0]
+    params = jnp.stack([jnp.asarray(ell, f32), k0])[None, :]        # (1, 2)
+
+    kernel = _make_kernel(d, cap, S, iterations, kind, rule,
+                          sigma_tol, sigma_floor, ridge)
+    grid = (Lp // LANE_BLOCK,)
+    B = LANE_BLOCK
+
+    lane_spec = lambda *blk: pl.BlockSpec(
+        blk, (lambda i, nb=len(blk): tuple([0] * (nb - 1)) + (i,)),
+        memory_space=pltpu.VMEM)
+
+    xout, vout = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            lane_spec(d, cap, B),
+            lane_spec(cap, cap, B),
+            lane_spec(cap, B),
+            lane_spec(1, B),
+            lane_spec(1, B),
+            lane_spec(1, B),
+        ],
+        out_specs=[
+            lane_spec(d, B),
+            lane_spec(1, B),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((d, Lp), f32),
+            jax.ShapeDtypeStruct((1, Lp), f32),
+        ],
+        interpret=interpret,
+    )(params, jnp.asarray(xstarts, f32), bounds, Xt, Wt, ct, fm, nn, th)
+
+    return jnp.transpose(xout, (1, 0))[:L], vout[0, :L]
+
+
+# --------------------------------------------------------------------------
+# vmap-composable entry point
+#
+# The rollout engine reaches the solver through nested vmaps (restarts x MC
+# lanes) around a lax.scan. pallas_call's default batching rule would add
+# one grid instance per lane — catastrophic for 128-lane-vectorized blocks.
+# Instead `get_solver` returns a custom_vmap function whose batching rule
+# collapses every vmap axis into the kernel's flat lane dimension; the rule
+# re-enters the same custom_vmap function, so arbitrarily nested vmaps all
+# flatten into one big pallas_call.
+# --------------------------------------------------------------------------
+
+
+_LANE_ARGS = 6  # X, Li, c, n, fmini, theta0 carry the lane dimension
+
+
+def _broadcast_unbatched(axis_size, args, batched):
+    out = []
+    for a, b in zip(args, batched):
+        if b:
+            out.append(a)
+        else:
+            out.append(jnp.broadcast_to(a[None], (axis_size,) + a.shape))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def get_solver(kind: str, rule: str, iterations: int, interpret: bool = False):
+    """(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts) -> (xstar, v).
+
+    Single-lane signature — X (cap, d), Li (cap, cap), c (cap,), scalars n
+    / fmini / theta0 — composable under any nesting of jax.vmap. `Li` is
+    the maintained explicit Cholesky inverse; K^{-1} = Li^T Li is formed
+    once per flattened call as a real batched MXU matmul.
+    """
+
+    def flat_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts):
+        W = jnp.einsum("lji,ljk->lik", Li, Li)
+        return newton_solve_lanes(
+            X, W, c, n, fmini, theta0, ell, lbs, ubs, xstarts,
+            kind=kind, rule=rule, iterations=iterations, interpret=interpret,
+        )
+
+    solve_flat = jax.custom_batching.custom_vmap(flat_impl)
+
+    @solve_flat.def_vmap
+    def _flat_rule(axis_size, in_batched, X, Li, c, n, fmini, theta0,
+                   ell, lbs, ubs, xstarts):
+        lane = _broadcast_unbatched(
+            axis_size, (X, Li, c, n, fmini, theta0), in_batched[:_LANE_ARGS])
+        if any(in_batched[_LANE_ARGS:]):
+            raise NotImplementedError(
+                "pallas solver: ell/lbs/ubs/xstarts must be shared across "
+                "the vmapped axis")
+        L = lane[0].shape[1]
+        flat = [a.reshape((axis_size * L,) + a.shape[2:]) for a in lane]
+        xs, vs = solve_flat(*flat, ell, lbs, ubs, xstarts)
+        return (
+            (xs.reshape(axis_size, L, xs.shape[-1]),
+             vs.reshape(axis_size, L)),
+            (True, True),
+        )
+
+    def one_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts):
+        xs, vs = solve_flat(
+            X[None], Li[None], c[None], n[None], fmini[None], theta0[None],
+            ell, lbs, ubs, xstarts)
+        return xs[0], vs[0]
+
+    solve_one = jax.custom_batching.custom_vmap(one_impl)
+
+    @solve_one.def_vmap
+    def _one_rule(axis_size, in_batched, X, Li, c, n, fmini, theta0,
+                  ell, lbs, ubs, xstarts):
+        lane = _broadcast_unbatched(
+            axis_size, (X, Li, c, n, fmini, theta0), in_batched[:_LANE_ARGS])
+        if any(in_batched[_LANE_ARGS:]):
+            raise NotImplementedError(
+                "pallas solver: ell/lbs/ubs/xstarts must be shared across "
+                "the vmapped axis")
+        xs, vs = solve_flat(*lane, ell, lbs, ubs, xstarts)
+        return (xs, vs), (True, True)
+
+    return solve_one

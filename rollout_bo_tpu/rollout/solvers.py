@@ -13,6 +13,7 @@ The winner is selected by argmax over starts with NaN filtering
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -21,7 +22,33 @@ from rollout_bo_tpu.models import surrogate as sg
 from rollout_bo_tpu.ops import small_chol
 from rollout_bo_tpu.models.decision_rules import DecisionRule
 
-__all__ = ["newton_solve_batch", "multistart_maximize", "SolveResult"]
+__all__ = [
+    "newton_solve_batch",
+    "multistart_maximize",
+    "maximize_hot",
+    "SolveResult",
+    "pallas_enabled",
+]
+
+
+# "auto": use the Pallas lane-vectorized kernel on TPU backends for f32
+# states with supported kernel/rule; "1"/"0" force on/off; "interpret"
+# forces the kernel through the Pallas interpreter (CPU testing).
+_PALLAS_MODE = os.environ.get("ROLLOUT_BO_TPU_PALLAS", "auto")
+
+
+def pallas_enabled(state: sg.SurrogateState, rule: DecisionRule) -> bool:
+    from rollout_bo_tpu.ops import pallas_newton as pn
+
+    if _PALLAS_MODE == "0":
+        return False
+    if not pn.supported(state.kernel.kind, rule.name):
+        return False
+    if state.X.dtype != jnp.float32 or state.kernel.theta.shape != (1,):
+        return False
+    if _PALLAS_MODE in ("1", "interpret"):
+        return True
+    return jax.default_backend() not in ("cpu",)
 
 
 class SolveResult(NamedTuple):
@@ -187,3 +214,43 @@ def multistart_maximize(
     )
     j = jnp.argmax(values)
     return SolveResult(xs[j], values[j], xs, values)
+
+
+def maximize_hot(
+    state: sg.SurrogateState,
+    rule: DecisionRule,
+    theta,
+    lbs,
+    ubs,
+    xstarts,
+    *,
+    iterations: int = 12,
+):
+    """(xstar, value) multistart argmax for the rollout hot path.
+
+    Routes to the Pallas lane-vectorized kernel (ops/pallas_newton.py) when
+    enabled/supported — composable under any vmap nesting, each vmap axis
+    collapsing into the kernel's flat lane dimension — and otherwise to
+    the vmapped-XLA `newton_solve_batch`. The two paths agree to f32
+    op-ordering noise with identical argmax basins (scripts/
+    ab_pallas_solver.py: 100% argmax agreement at benchmark scale).
+    """
+    if pallas_enabled(state, rule):
+        from rollout_bo_tpu.ops import pallas_newton as pn
+
+        solve_one = pn.get_solver(
+            state.kernel.kind, rule.name, iterations,
+            interpret=_PALLAS_MODE == "interpret",
+        )
+        dt = state.X.dtype
+        return solve_one(
+            state.X, state.Li, state.c, state.n,
+            sg.get_active_minimum(state),
+            jnp.asarray(theta, dt)[0],
+            state.kernel.theta[0],
+            jnp.asarray(lbs, dt), jnp.asarray(ubs, dt),
+            jnp.asarray(xstarts, dt),
+        )
+    res = multistart_maximize(
+        state, rule, theta, lbs, ubs, xstarts, iterations=iterations)
+    return res.x, res.value

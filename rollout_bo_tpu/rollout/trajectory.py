@@ -153,10 +153,9 @@ def argmax_with_ift(
     """
     st = fant.view(fs, fi)
     st_sg = jax.tree.map(_stop, st)
-    res = solvers.multistart_maximize(
+    xstar, _ = solvers.maximize_hot(
         st_sg, rule, _stop(theta), lbs, ubs, xstarts, iterations=iterations
-    )
-    xstar = res.x  # already gradient-free
+    )  # already gradient-free (stopped inputs; Pallas route on TPU)
 
     # differentiable stationarity residual g(fs, theta) at fixed xstar
     _, g = sg.acquisition_grad(st, rule, xstar, theta)
