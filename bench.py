@@ -61,14 +61,15 @@ def main():
     rule = EI()
     restarts = jnp.asarray(qmc.generate_batch(num_restarts, f.lbs, f.ubs)[:num_restarts], dtype)
 
-    sga_step = outer_mod.make_batched_sga_step(
-        state, tp, rule, xstarts, lr=0.01, inner_iterations=10)
+    program = outer_mod.make_scanned_sga_program(
+        state, tp, rule, xstarts, steps_per_call=10, lr=0.01,
+        inner_iterations=10)
 
     def acquire(state, rnstream, restarts):
-        xs, vals = outer_mod.stochastic_solve_stepped(
+        xs, vals = outer_mod.stochastic_solve_scanned(
             state, tp._replace(rnstream=rnstream), rule, xstarts, restarts,
-            max_iters=sgd_iters, lr=0.01, inner_iterations=10,
-            sga_step=sga_step,
+            max_iters=sgd_iters, steps_per_call=10, lr=0.01,
+            inner_iterations=10, program=program,
         )
         j = int(jnp.argmax(vals))
         return xs[j], vals[j]

@@ -27,7 +27,12 @@ __all__ = [
     "adam_update",
     "sga_update",
     "eswavs",
+    "make_batched_grad_step",
+    "make_batched_sga_step",
+    "make_scanned_sga_program",
     "stochastic_solve",
+    "stochastic_solve_scanned",
+    "stochastic_solve_stepped",
     "stochastic_solve_batch",
     "deterministic_solve",
     "deterministic_solve_batch",
@@ -194,6 +199,110 @@ def make_batched_sga_step(
         return (xs, opt2, done, vals)
 
     return step
+
+
+def make_scanned_sga_program(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    *,
+    steps_per_call: int = 10,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """k fused SGA iterations + a frozen final evaluation as ONE program.
+
+    The per-iteration body is identical to `make_batched_sga_step`'s, run
+    `steps_per_call` times under `lax.scan` and followed by one frozen
+    evaluation reporting the values AT the post-scan points. Rationale
+    (measured on the tunneled v5e): one SGA step is ~24 ms of device time
+    but ~108 ms of per-dispatch host/tunnel overhead, so dispatching one
+    program per iteration spends 2/3 of the wall clock idle; batching k
+    iterations per dispatch amortizes that overhead k-fold while keeping
+    the early-stop host check at the same `sync_every=k` cadence the
+    stepped loop already used. Equivalence with the stepped loop is pinned
+    by tests/test_adaptive.py::test_scanned_matches_stepped.
+    """
+
+    @jax.jit
+    def program(st, rnstream, carry):
+        dim = carry[0].shape[1]
+
+        def simulate_batch(xs):
+            def one(x0):
+                eto = mc_mod.simulate_trajectory_mc(
+                    st, tp._replace(x0=x0, rnstream=rnstream), rule, xstarts,
+                    with_gradients=True, iterations=inner_iterations,
+                    draw_mode=draw_mode,
+                )
+                return eto.mu, eto.grad_x, eto.std_grad_x
+
+            return jax.vmap(one)(xs)
+
+        def body(c, _):
+            xs, opt, done, vals = c
+            vals, grads, stds = simulate_batch(xs)
+            ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, 1e-300), axis=1)
+            stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
+            done = done | stop
+            opt2, xs_new = adam_update(opt, xs, grads, lr=lr)
+            xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
+            xs = jnp.where(done[:, None], xs, xs_new)
+            return (xs, opt2, done, vals), None
+
+        carry, _ = jax.lax.scan(body, carry, None, length=steps_per_call)
+        xs, opt, done, _ = carry
+        vals, _, _ = simulate_batch(xs)  # frozen: values AT the final points
+        return (xs, opt, done, vals)
+
+    return program
+
+
+def stochastic_solve_scanned(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    *,
+    max_iters: int = 50,
+    steps_per_call: int = 10,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+    program=None,
+):
+    """Multi-restart SGA with k iterations fused per device dispatch.
+
+    Same semantics as `stochastic_solve_stepped(sync_every=steps_per_call)`
+    — identical per-iteration math, identical early-exit cadence — but
+    ceil(max_iters/k) dispatches instead of max_iters, which removes the
+    per-dispatch tunnel overhead from the critical path. Returns
+    (xs (R, d), values (R,)); the returned values are evaluated at the
+    final points (frozen evaluation inside the same program).
+    """
+    import numpy as np
+
+    dt = state.X.dtype
+    xs = jnp.asarray(starts, dt)
+    prog = program or make_scanned_sga_program(
+        state, tp, rule, xstarts, steps_per_call=steps_per_call,
+        lr=lr, inner_iterations=inner_iterations, draw_mode=draw_mode,
+    )
+
+    opt = AdamState(jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.zeros((), jnp.int32))
+    done = jnp.zeros((xs.shape[0],), bool)
+    vals = jnp.zeros((xs.shape[0],), dt)
+    carry = (xs, opt, done, vals)
+    n_windows = -(-max_iters // steps_per_call)
+    for _ in range(n_windows):
+        carry = prog(state, tp.rnstream, carry)
+        if bool(np.all(np.asarray(carry[2]))):
+            break
+    xs, _, _, vals = carry
+    return xs, vals
 
 
 def stochastic_solve_stepped(

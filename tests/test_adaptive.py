@@ -129,6 +129,34 @@ def test_stepped_matches_fused_batch():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_scanned_matches_stepped():
+    """k-iterations-per-dispatch SGA (stochastic_solve_scanned) must agree
+    exactly with the one-dispatch-per-iteration loop it replaces."""
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, f.lbs, f.ubs), dt)
+    starts = jnp.asarray(qmc.generate_batch(3, f.lbs, f.ubs)[:3], dt)
+    z = jnp.asarray(qmc.gen_low_discrepancy_sequence(6, f.dim, 2), dt)
+    tp = TrajectoryParams(
+        x0=jnp.zeros((f.dim,), dt), theta=jnp.asarray([0.0], dt),
+        lbs=jnp.asarray(f.lbs, dt), ubs=jnp.asarray(f.ubs, dt), rnstream=z,
+    )
+    kw = dict(max_iters=4, lr=0.05, inner_iterations=4)
+    xs_s, vals_s = outer.stochastic_solve_stepped(
+        state, tp, EI(), xstarts, starts, sync_every=2, **kw)
+    xs_k, vals_k = outer.stochastic_solve_scanned(
+        state, tp, EI(), xstarts, starts, steps_per_call=2, **kw)
+    np.testing.assert_allclose(np.asarray(xs_k), np.asarray(xs_s),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(vals_s),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_cost_functions():
     """Cost models + cost-weighted acquisition (reference cost_functions.jl)."""
     import jax.numpy as jnp
