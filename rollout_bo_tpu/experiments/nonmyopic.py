@@ -49,6 +49,12 @@ def parse_args(argv=None):
                         "(reference utils.jl:267-306)")
     p.add_argument("--ghq-nodes", type=int, default=8)
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
+    p.add_argument("--outer-solver", default="batch",
+                   choices=["batch", "scanned"],
+                   help="scanned = k SGA iterations fused per dispatch with "
+                        "host-side early exit (the bench production path)")
+    p.add_argument("--steps-per-call", type=int, default=10,
+                   help="SGA iterations fused per dispatch (scanned solver)")
     return p.parse_args(argv)
 
 
@@ -95,6 +101,7 @@ def main(argv=None):
             use_low_discrepancy=args.variance_reduction,
             rule=dr.EI(), x_init=x_init, mesh=mesh,
             deterministic=args.deterministic_solve, ghq_nodes=args.ghq_nodes,
+            outer_solver=args.outer_solver, steps_per_call=args.steps_per_call,
         )
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_times"), res.times)
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_gaps"), res.gaps)

@@ -22,7 +22,11 @@ from rollout_bo_tpu.rollout import mc as mc_mod
 from rollout_bo_tpu.rollout import outer as outer_mod
 from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
 
-__all__ = ["sharded_simulate_mc", "sharded_stochastic_solve_batch"]
+__all__ = [
+    "sharded_simulate_mc",
+    "sharded_stochastic_solve_batch",
+    "sharded_stochastic_solve_scanned",
+]
 
 
 def sharded_simulate_mc(
@@ -91,3 +95,42 @@ def sharded_stochastic_solve_batch(
         out_shardings=NamedSharding(mesh, P()),
     )
     return fn(state, starts)
+
+
+def sharded_stochastic_solve_scanned(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    mesh: Mesh,
+    *,
+    max_iters: int = 50,
+    steps_per_call: int = 10,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+    program=None,
+):
+    """The scanned (production/bench) outer solver on a device mesh.
+
+    Restarts shard over mesh axis 'restarts' and the MC trajectory axis
+    over 'mc' simultaneously — the two embarrassingly-parallel axes of the
+    reference's intended fan-out (adaptive_bayesopt.jl:483-488). The
+    scanned program itself carries no sharding annotations: GSPMD
+    propagates the input placements through the lax.scan and inserts the
+    per-restart mean reductions over the 'mc' axis and the all-gather for
+    the host-side all-stopped early-exit check between windows.
+    """
+    starts = jax.device_put(
+        jnp.asarray(starts, state.X.dtype), NamedSharding(mesh, P("restarts", None))
+    )
+    rn = jax.device_put(tp.rnstream, NamedSharding(mesh, P("mc", None, None)))
+    tp = tp._replace(rnstream=rn)
+    state = mesh_mod.replicate(state, mesh)
+    return outer_mod.stochastic_solve_scanned(
+        state, tp, rule, xstarts, starts,
+        max_iters=max_iters, steps_per_call=steps_per_call, lr=lr,
+        inner_iterations=inner_iterations, draw_mode=draw_mode,
+        program=program,
+    )

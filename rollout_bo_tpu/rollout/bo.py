@@ -179,6 +179,41 @@ def run_myopic_bo(
     )
 
 
+def _make_exploration_fallback(rule, theta, lbs_j, ubs_j, xstarts,
+                               solver_iterations):
+    """Escape hatch for a flat-zero rollout acquisition.
+
+    When every outer restart reports zero expected improvement, the MC
+    rollout estimate offers no direction (no trajectory sample crossed the
+    incumbent: the empirical mean AND its gradient are exactly zero, so
+    Adam freezes and the restart-winner argmax degenerates to a tie). The
+    reference has no guard here — its BO loop re-samples the first batch
+    point, the duplicate row makes the rank-1 Cholesky update singular,
+    and the whole trial dies to `<fn>_failed.txt`
+    (adaptive_bayesopt.jl:492-542). Instead: fall back to the ANALYTIC
+    myopic acquisition (nonzero and differentiable far beyond the MC
+    estimate's sample support), and if even that is flat, to the
+    max-posterior-σ candidate (pure exploration) — both of which move to
+    a new point, keeping the surrogate update well-posed.
+    """
+
+    if rule.name == "Random":  # needs a PRNG key; EI is the sane fallback
+        rule = EI()
+
+    @jax.jit
+    def fallback(state: sg.SurrogateState):
+        res = solvers.multistart_maximize(
+            state, rule, theta, lbs_j, ubs_j, xstarts,
+            iterations=solver_iterations,
+        )
+        sig = jax.vmap(lambda xx: sg.posterior(state, xx).sigma)(xstarts)
+        x_explore = xstarts[jnp.argmax(sig)]
+        ok = jnp.isfinite(res.value) & (res.value > 0)
+        return jnp.where(ok, res.x, x_explore), res.value
+
+    return fallback
+
+
 def run_nonmyopic_bo(
     testfn: TestFunction,
     *,
@@ -206,6 +241,8 @@ def run_nonmyopic_bo(
     mesh=None,
     deterministic: bool = False,
     ghq_nodes: int = 8,
+    outer_solver: str = "batch",
+    steps_per_call: int = 10,
 ) -> MyopicBOResult:
     """Non-myopic (rollout-EI) BO trial.
 
@@ -221,6 +258,13 @@ def run_nonmyopic_bo(
     `deterministic=True` selects the SAA/Gauss-Hermite (variance-free)
     solver — the reference's `--deterministic-solve` flag
     (nonmyopic_bayesopt.jl:63-66, utils.jl:267-306).
+
+    `outer_solver`: "batch" (vmapped lax.while_loop per restart, one
+    dispatch per BO iteration) or "scanned" (the bench production path —
+    `stochastic_solve_scanned` with `steps_per_call` SGA iterations fused
+    per dispatch and host-side all-stopped early exit between windows;
+    ~4x faster on a tunneled chip because frozen restarts actually end
+    the ascent early).
     """
     from rollout_bo_tpu.rollout import outer as outer_mod
     from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
@@ -262,6 +306,25 @@ def run_nonmyopic_bo(
             )
             j = jnp.argmax(vals)
             return xs[j], vals[j]
+    elif outer_solver == "scanned":
+        tp0 = TrajectoryParams(
+            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
+            rnstream=make_rnstream(),
+        )
+        program = outer_mod.make_scanned_sga_program(
+            state, tp0, rule, xstarts, steps_per_call=steps_per_call,
+            lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
+        )
+
+        def acquire(state: sg.SurrogateState, rnstream, restarts):
+            xs, vals = outer_mod.stochastic_solve_scanned(
+                state, tp0._replace(rnstream=rnstream), rule, xstarts,
+                restarts, max_iters=sgd_iters, lr=lr,
+                inner_iterations=solver_iterations, draw_mode=draw_mode,
+                program=program,
+            )
+            j = int(jnp.argmax(vals))
+            return xs[j], vals[j]
     else:
         @jax.jit
         def acquire(state: sg.SurrogateState, rnstream, restarts):
@@ -286,6 +349,9 @@ def run_nonmyopic_bo(
     def mle_step(state: sg.SurrogateState):
         return sg.optimize_hypers(state, klbs, kubs)
 
+    fallback = _make_exploration_fallback(
+        rule, theta, lbs_j, ubs_j, xstarts, solver_iterations)
+
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
 
@@ -297,13 +363,20 @@ def run_nonmyopic_bo(
     y_all = list(map(float, y_init))
 
     for b in range(budget):
-        restarts = jnp.asarray(qmc.generate_batch(num_restarts, lbs, ubs)[:num_restarts], dt)
+        # full reference batch: num_restarts Sobol points + the two
+        # eps-interior near-boundary points (utils.jl:97-106); truncated
+        # to num_restarts only when a mesh requires divisibility
+        batch = qmc.generate_batch(num_restarts, lbs, ubs)
+        restarts = jnp.asarray(batch[:num_restarts] if mesh is not None else batch, dt)
         rnstream = make_rnstream()
         if mesh is not None:
             from rollout_bo_tpu.parallel import mesh as mesh_mod
             restarts = mesh_mod.shard_leading(restarts, mesh, "restarts")
         t0 = time.perf_counter()
-        xnext, _ = acquire(state, rnstream, restarts)
+        xnext, vbest = acquire(state, rnstream, restarts)
+        vb = float(vbest)
+        if not np.isfinite(vb) or vb <= 0.0:
+            xnext, _ = fallback(state)
         xnext.block_until_ready()
         times[b] = time.perf_counter() - t0
 
@@ -495,14 +568,19 @@ def run_adaptive_bo(
     X_all = [np.asarray(x) for x in x_init]
     y_all = list(map(float, y_init))
 
+    fallback = _make_exploration_fallback(
+        rule, theta, lbs_j, ubs_j, xstarts, solver_iterations)
+
     for b in range(budget):
         h = max(0, int(schedule(b, budget)))
-        restarts = jnp.asarray(
-            qmc.generate_batch(num_restarts, lbs, ubs)[:num_restarts], dt)
+        restarts = jnp.asarray(qmc.generate_batch(num_restarts, lbs, ubs), dt)
         rnstream = make_rnstream(h)
         mem0 = _device_peak_bytes()
         t0 = time.perf_counter()
-        xnext, _ = acquire_for(h)(state, restarts, rnstream)
+        xnext, vbest = acquire_for(h)(state, restarts, rnstream)
+        vb = float(vbest)
+        if not np.isfinite(vb) or vb <= 0.0:
+            xnext, _ = fallback(state)
         xnext.block_until_ready()
         times[b] = time.perf_counter() - t0
         allocations[b] = max(0, _device_peak_bytes() - mem0)

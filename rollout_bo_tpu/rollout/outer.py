@@ -72,7 +72,11 @@ def eswavs(grad, var_grad, sample_size):
     reference: utils.jl:114-123. True => stop.
     """
     dim = grad.shape[0]
-    ratio = jnp.sum(grad**2 / jnp.maximum(var_grad, 1e-300))
+    # dtype-aware floor: 1e-300 underflows to 0 in f32 and would disarm
+    # the divide-by-zero guard (a zero-grad/zero-std restart must freeze,
+    # not produce NaN).
+    floor = jnp.finfo(jnp.asarray(var_grad).dtype).tiny
+    ratio = jnp.sum(grad**2 / jnp.maximum(var_grad, floor))
     return (1.0 - (sample_size / dim) * ratio) > 0.0
 
 
@@ -190,8 +194,13 @@ def make_batched_sga_step(
             return eto.mu, eto.grad_x, eto.std_grad_x
 
         vals, grads, stds = jax.vmap(one)(xs)
-        ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, 1e-300), axis=1)
-        stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
+        # sample size from the stream actually simulated (not the
+        # closed-over tp.mc_iters, which may be stale if the caller passes
+        # a different-length rnstream); dtype-aware variance floor.
+        sample_size = rnstream.shape[0]
+        floor = jnp.finfo(stds.dtype).tiny
+        ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, floor), axis=1)
+        stop = (1.0 - (sample_size / dim) * ratio) > 0.0
         done = done | stop
         opt2, xs_new = adam_update(opt, xs, grads, lr=lr)
         xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
@@ -224,10 +233,16 @@ def make_scanned_sga_program(
     the early-stop host check at the same `sync_every=k` cadence the
     stepped loop already used. Equivalence with the stepped loop is pinned
     by tests/test_adaptive.py::test_scanned_matches_stepped.
+
+    The returned program carries a `steps_per_call` attribute so
+    `stochastic_solve_scanned` derives its window count from the program's
+    actual baked-in step count (a prebuilt program built with a different
+    k than the solver's `steps_per_call` argument would otherwise silently
+    change the total iteration count).
     """
 
     @jax.jit
-    def program(st, rnstream, carry):
+    def program_impl(st, rnstream, carry):
         dim = carry[0].shape[1]
 
         def simulate_batch(xs):
@@ -244,8 +259,10 @@ def make_scanned_sga_program(
         def body(c, _):
             xs, opt, done, vals = c
             vals, grads, stds = simulate_batch(xs)
-            ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, 1e-300), axis=1)
-            stop = (1.0 - (tp.mc_iters / dim) * ratio) > 0.0
+            sample_size = rnstream.shape[0]
+            floor = jnp.finfo(stds.dtype).tiny
+            ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, floor), axis=1)
+            stop = (1.0 - (sample_size / dim) * ratio) > 0.0
             done = done | stop
             opt2, xs_new = adam_update(opt, xs, grads, lr=lr)
             xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
@@ -257,7 +274,22 @@ def make_scanned_sga_program(
         vals, _, _ = simulate_batch(xs)  # frozen: values AT the final points
         return (xs, opt, done, vals)
 
-    return program
+    return _ScannedSGAProgram(program_impl, steps_per_call)
+
+
+class _ScannedSGAProgram:
+    """Callable wrapper pairing a jitted scanned-SGA program with its k.
+
+    jit-compiled callables do not accept attribute assignment, so the
+    baked-in `steps_per_call` rides on this thin wrapper instead.
+    """
+
+    def __init__(self, fn, steps_per_call: int):
+        self._fn = fn
+        self.steps_per_call = int(steps_per_call)
+
+    def __call__(self, st, rnstream, carry):
+        return self._fn(st, rnstream, carry)
 
 
 def stochastic_solve_scanned(
@@ -276,12 +308,18 @@ def stochastic_solve_scanned(
 ):
     """Multi-restart SGA with k iterations fused per device dispatch.
 
-    Same semantics as `stochastic_solve_stepped(sync_every=steps_per_call)`
-    — identical per-iteration math, identical early-exit cadence — but
+    Same per-iteration math and early-exit cadence as
+    `stochastic_solve_stepped(sync_every=steps_per_call)`, but
     ceil(max_iters/k) dispatches instead of max_iters, which removes the
-    per-dispatch tunnel overhead from the critical path. Returns
-    (xs (R, d), values (R,)); the returned values are evaluated at the
-    final points (frozen evaluation inside the same program).
+    per-dispatch tunnel overhead from the critical path. Note the total
+    iteration count rounds UP to a whole number of windows:
+    ceil(max_iters/k)*k iterations run when max_iters is not a multiple of
+    k (extra iterations past an exact-multiple max_iters only continue the
+    same ascent and are frozen per-restart once eswavs fires). When a
+    prebuilt `program` is passed, its baked-in `steps_per_call` attribute
+    overrides the `steps_per_call` argument. Returns (xs (R, d),
+    values (R,)); the returned values are evaluated at the final points
+    (frozen evaluation inside the same program).
     """
     import numpy as np
 
@@ -291,6 +329,7 @@ def stochastic_solve_scanned(
         state, tp, rule, xstarts, steps_per_call=steps_per_call,
         lr=lr, inner_iterations=inner_iterations, draw_mode=draw_mode,
     )
+    steps_per_call = getattr(prog, "steps_per_call", steps_per_call)
 
     opt = AdamState(jnp.zeros_like(xs), jnp.zeros_like(xs), jnp.zeros((), jnp.int32))
     done = jnp.zeros((xs.shape[0],), bool)

@@ -103,6 +103,37 @@ def test_sharded_restart_solve_matches_unsharded():
     np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref), rtol=1e-6, atol=1e-10)
 
 
+def test_sharded_scanned_solve_matches_unsharded():
+    """The scanned production program sharded over restarts x mc must agree
+    with the single-device scanned solver (GSPMD only changes placement)."""
+    st = base_state()
+    tp = make_tp(st, M=8, h=1)
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, [0.0], [1.0]))
+    starts = np.linspace(0.1, 0.9, 4)[:, None]
+    rule = dr.EI()
+    xs_ref, vals_ref = outer.stochastic_solve_scanned(
+        st, tp, rule, xstarts, starts,
+        max_iters=4, steps_per_call=2, inner_iterations=10)
+    mesh = mesh_mod.make_mesh(restarts=4, mc=2)
+    xs, vals = sharded.sharded_stochastic_solve_scanned(
+        st, tp, rule, xstarts, starts, mesh,
+        max_iters=4, steps_per_call=2, inner_iterations=10)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(vals_ref), rtol=1e-6, atol=1e-10)
+
+
+def test_nonmyopic_bo_scanned_smoke():
+    from rollout_bo_tpu.models import testfns
+    from rollout_bo_tpu.rollout import bo
+    f = testfns.gramacylee()
+    res = bo.run_nonmyopic_bo(
+        f, horizon=1, mc_iters=4, budget=2, num_starts=4, num_restarts=2,
+        sgd_iters=4, seed=5, solver_iterations=8,
+        outer_solver="scanned", steps_per_call=2)
+    assert res.y.shape == (7,)
+    assert np.all(np.isfinite(res.y))
+
+
 def test_nonmyopic_bo_smoke():
     from rollout_bo_tpu.models import testfns
     from rollout_bo_tpu.rollout import bo

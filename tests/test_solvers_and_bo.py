@@ -72,3 +72,49 @@ def test_myopic_bo_random_baseline_runs():
     f = testfns.get_function("sixhump")
     res = bo.run_myopic_bo(f, dr.RandomAcquisition(), budget=5, num_starts=4, seed=1)
     assert np.all(np.isfinite(res.y))
+
+
+def _overconfident_state(dtype=jnp.float32):
+    """A surrogate whose MC rollout acquisition is exactly zero everywhere:
+    tight 1-d gramacylee fit where no +-3sigma draw crosses the incumbent
+    (the state that froze every outer restart before the exploration
+    fallback existed)."""
+    X = np.array([1.28383, 1.03912, 1.16751, 1.67047, 2.00633, 1.5, 2.5,
+                  0.5, 0.70338, 0.8217])[:, None]
+    f = testfns.gramacylee()
+    y = np.asarray(f.batch(X))
+    return sg.fit(K.matern52((0.266,)), X, y, capacity=16, noise=1e-6,
+                  dtype=dtype)
+
+
+def test_exploration_fallback_finds_nonzero_ei_point():
+    """When the rollout estimate is flat zero, the fallback's analytic
+    myopic EI solve must return a NEW in-bounds point with positive EI
+    (the reference instead re-samples a duplicate and the trial dies,
+    adaptive_bayesopt.jl:492-542)."""
+    st = _overconfident_state(dtype=None)  # run in the suite's f64
+    dt = st.X.dtype
+    theta = jnp.asarray([0.0], dt)
+    lbs_j, ubs_j = jnp.asarray([0.5], dt), jnp.asarray([2.5], dt)
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(8, [0.5], [2.5]), dt)
+    fb = bo._make_exploration_fallback(dr.EI(), theta, lbs_j, ubs_j,
+                                       xstarts, 12)
+    x, v = fb(st)
+    assert np.isfinite(float(v)) and float(v) > 0
+    assert 0.5 <= float(x[0]) <= 2.5
+    # must not be a (near-)duplicate of an observed point
+    assert float(np.min(np.abs(np.asarray(st.X[:10, 0]) - float(x[0])))) > 1e-3
+
+
+def test_nonmyopic_bo_does_not_resample_duplicates():
+    """f32 end-to-end: zero-EI plateaus must not trap the loop on one
+    point (regression for the stuck-midpoint failure mode)."""
+    f = testfns.gramacylee()
+    res = bo.run_nonmyopic_bo(
+        f, horizon=0, mc_iters=16, budget=6, num_starts=8, num_restarts=4,
+        sgd_iters=10, seed=11, solver_iterations=10, dtype=jnp.float32,
+        outer_solver="scanned", steps_per_call=5)
+    sampled = res.X[5:, 0]
+    for i in range(1, len(sampled)):
+        assert float(np.min(np.abs(sampled[i] - sampled[:i]))) > 1e-5, \
+            f"duplicate sample at BO iteration {i}: {sampled}"
