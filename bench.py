@@ -61,16 +61,16 @@ def main():
     rule = EI()
     restarts = jnp.asarray(qmc.generate_batch(num_restarts, f.lbs, f.ubs)[:num_restarts], dtype)
 
-    program = outer_mod.make_scanned_sga_program(
-        state, tp, rule, xstarts, steps_per_call=10, lr=0.01,
+    # production path: the whole multi-restart SGA solve is ONE device
+    # program (while_loop + device-side exact early exit; see
+    # outer.make_fused_sga_program and scripts/ab_fused_outer.py — 72 ms
+    # vs the scanned program's 317 ms at identical argmax)
+    program = outer_mod.make_fused_sga_program(
+        state, tp, rule, xstarts, max_iters=sgd_iters, lr=0.01,
         inner_iterations=10)
 
     def acquire(state, rnstream, restarts):
-        xs, vals = outer_mod.stochastic_solve_scanned(
-            state, tp._replace(rnstream=rnstream), rule, xstarts, restarts,
-            max_iters=sgd_iters, steps_per_call=10, lr=0.01,
-            inner_iterations=10, program=program,
-        )
+        xs, vals = program(state, rnstream, restarts)
         j = int(jnp.argmax(vals))
         return xs[j], vals[j]
 

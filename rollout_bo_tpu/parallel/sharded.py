@@ -25,6 +25,7 @@ from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
 __all__ = [
     "sharded_simulate_mc",
     "sharded_stochastic_solve_batch",
+    "sharded_stochastic_solve_fused",
     "sharded_stochastic_solve_scanned",
 ]
 
@@ -95,6 +96,43 @@ def sharded_stochastic_solve_batch(
         out_shardings=NamedSharding(mesh, P()),
     )
     return fn(state, starts)
+
+
+def sharded_stochastic_solve_fused(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    mesh: Mesh,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+    program=None,
+):
+    """The fused one-dispatch (production/bench) outer solver on a mesh.
+
+    Restarts shard over mesh axis 'restarts' and the MC trajectory axis
+    over 'mc' simultaneously — the two embarrassingly-parallel axes of the
+    reference's intended fan-out (adaptive_bayesopt.jl:483-488). The fused
+    program carries no sharding annotations: GSPMD propagates the input
+    placements through the while_loop body and inserts the per-restart mean
+    reductions over 'mc' plus the all-reduce behind the device-side
+    all-stopped early-exit predicate.
+    """
+    starts = jax.device_put(
+        jnp.asarray(starts, state.X.dtype), NamedSharding(mesh, P("restarts", None))
+    )
+    rn = jax.device_put(tp.rnstream, NamedSharding(mesh, P("mc", None, None)))
+    tp = tp._replace(rnstream=rn)
+    state = mesh_mod.replicate(state, mesh)
+    prog = program or outer_mod.make_fused_sga_program(
+        state, tp, rule, xstarts, max_iters=max_iters, lr=lr,
+        inner_iterations=inner_iterations, draw_mode=draw_mode,
+    )
+    return prog(state, tp.rnstream, starts)
 
 
 def sharded_stochastic_solve_scanned(

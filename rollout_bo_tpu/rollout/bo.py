@@ -241,7 +241,7 @@ def run_nonmyopic_bo(
     mesh=None,
     deterministic: bool = False,
     ghq_nodes: int = 8,
-    outer_solver: str = "batch",
+    outer_solver: str = "fused",
     steps_per_call: int = 10,
 ) -> MyopicBOResult:
     """Non-myopic (rollout-EI) BO trial.
@@ -259,12 +259,13 @@ def run_nonmyopic_bo(
     solver — the reference's `--deterministic-solve` flag
     (nonmyopic_bayesopt.jl:63-66, utils.jl:267-306).
 
-    `outer_solver`: "batch" (vmapped lax.while_loop per restart, one
-    dispatch per BO iteration) or "scanned" (the bench production path —
-    `stochastic_solve_scanned` with `steps_per_call` SGA iterations fused
-    per dispatch and host-side all-stopped early exit between windows;
-    ~4x faster on a tunneled chip because frozen restarts actually end
-    the ascent early).
+    `outer_solver`: "fused" (the bench production path — the whole
+    multi-restart SGA solve as ONE device program with a while_loop and
+    device-side exact all-stopped early exit,
+    `outer.make_fused_sga_program`), "scanned"
+    (`stochastic_solve_scanned`: `steps_per_call` SGA iterations fused per
+    dispatch, host-side early exit between windows), or "batch" (vmapped
+    lax.while_loop per restart via `stochastic_solve_batch`).
     """
     from rollout_bo_tpu.rollout import outer as outer_mod
     from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
@@ -305,6 +306,22 @@ def run_nonmyopic_bo(
                 lr=lr, inner_iterations=solver_iterations,
             )
             j = jnp.argmax(vals)
+            return xs[j], vals[j]
+    elif outer_solver == "fused":
+        # rnstream placeholder: the program always substitutes its
+        # rnstream argument (tp._replace), only the shape is traced
+        tp0 = TrajectoryParams(
+            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
+            rnstream=jnp.zeros((mc_iters, d + 1, horizon + 1), dt),
+        )
+        program = outer_mod.make_fused_sga_program(
+            state, tp0, rule, xstarts, max_iters=sgd_iters,
+            lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
+        )
+
+        def acquire(state: sg.SurrogateState, rnstream, restarts):
+            xs, vals = program(state, rnstream, restarts)
+            j = int(jnp.argmax(vals))
             return xs[j], vals[j]
     elif outer_solver == "scanned":
         tp0 = TrajectoryParams(
@@ -529,21 +546,21 @@ def run_adaptive_bo(
 
             fn = lambda state, restarts, rnstream: acq(state, restarts)  # noqa: E731
         else:
-            @jax.jit
-            def acq(state, rnstream, restarts):
-                tp = TrajectoryParams(
-                    x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j,
-                    ubs=ubs_j, rnstream=rnstream,
-                )
-                xs, vals = outer_mod.stochastic_solve_batch(
-                    state, tp, rule, xstarts, restarts,
-                    max_iters=sgd_iters, lr=lr,
-                    inner_iterations=solver_iterations, draw_mode=draw_mode,
-                )
-                j = jnp.argmax(vals)
-                return xs[j], vals[j]
+            # rnstream placeholder: the program always substitutes its
+            # rnstream argument (tp._replace), only the shape is traced
+            tp0 = TrajectoryParams(
+                x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j,
+                ubs=ubs_j, rnstream=jnp.zeros((mc_iters, d + 1, h + 1), dt),
+            )
+            program = outer_mod.make_fused_sga_program(
+                state, tp0, rule, xstarts, max_iters=sgd_iters, lr=lr,
+                inner_iterations=solver_iterations, draw_mode=draw_mode,
+            )
 
-            fn = lambda state, restarts, rnstream: acq(state, rnstream, restarts)  # noqa: E731
+            def fn(state, restarts, rnstream, program=program):
+                xs, vals = program(state, rnstream, restarts)
+                j = int(jnp.argmax(vals))
+                return xs[j], vals[j]
 
         acquire_cache[h] = fn
         return fn

@@ -29,8 +29,10 @@ __all__ = [
     "eswavs",
     "make_batched_grad_step",
     "make_batched_sga_step",
+    "make_fused_sga_program",
     "make_scanned_sga_program",
     "stochastic_solve",
+    "stochastic_solve_fused",
     "stochastic_solve_scanned",
     "stochastic_solve_stepped",
     "stochastic_solve_batch",
@@ -342,6 +344,113 @@ def stochastic_solve_scanned(
             break
     xs, _, _, vals = carry
     return xs, vals
+
+
+def make_fused_sga_program(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+):
+    """The ENTIRE multi-restart SGA solve as one device program.
+
+    A `lax.while_loop` over the per-iteration body of
+    `make_batched_sga_step` with a device-side all-stopped early exit,
+    followed by the frozen final evaluation — so one dispatch replaces the
+    scanned program's ceil(max_iters/k) dispatches AND the loop stops at
+    the exact iteration the eswavs statistic freezes the last restart
+    (the scanned program always completes its k-iteration window).
+    Semantics identical to `stochastic_solve_stepped(sync_every=1)`:
+    pinned by tests/test_adaptive.py::test_fused_matches_stepped.
+
+    Returns a jitted `(state, rnstream, xs0) -> (xs, vals)` callable;
+    `vals` are evaluated at the final points.
+    """
+
+    @jax.jit
+    def program(st, rnstream, xs0):
+        dim = xs0.shape[1]
+        sample_size = rnstream.shape[0]
+
+        def simulate_batch(xs):
+            def one(x0):
+                eto = mc_mod.simulate_trajectory_mc(
+                    st, tp._replace(x0=x0, rnstream=rnstream), rule, xstarts,
+                    with_gradients=True, iterations=inner_iterations,
+                    draw_mode=draw_mode,
+                )
+                return eto.mu, eto.grad_x, eto.std_grad_x
+
+            return jax.vmap(one)(xs)
+
+        def cond(c):
+            xs, opt, done, it = c
+            return (~jnp.all(done)) & (it < max_iters)
+
+        def body(c):
+            xs, opt, done, it = c
+            _, grads, stds = simulate_batch(xs)
+            floor = jnp.finfo(stds.dtype).tiny
+            ratio = jnp.sum(grads**2 / jnp.maximum(stds**2, floor), axis=1)
+            stop = (1.0 - (sample_size / dim) * ratio) > 0.0
+            done = done | stop
+            opt2, xs_new = adam_update(opt, xs, grads, lr=lr)
+            xs_new = jnp.clip(xs_new, tp.lbs, tp.ubs)
+            xs = jnp.where(done[:, None], xs, xs_new)
+            return (xs, opt2, done, it + 1)
+
+        opt0 = AdamState(jnp.zeros_like(xs0), jnp.zeros_like(xs0),
+                         jnp.zeros((), jnp.int32))
+        done0 = jnp.zeros((xs0.shape[0],), bool)
+        xs, _, _, _ = jax.lax.while_loop(
+            cond, body, (xs0, opt0, done0, jnp.asarray(0, jnp.int32)))
+
+        # frozen: values AT the final points (value-only — no gradients)
+        def value_one(x0):
+            eto = mc_mod.simulate_trajectory_mc(
+                st, tp._replace(x0=x0, rnstream=rnstream), rule, xstarts,
+                with_gradients=False, iterations=inner_iterations,
+                draw_mode=draw_mode,
+            )
+            return eto.mu
+
+        vals = jax.vmap(value_one)(xs)
+        return xs, vals
+
+    return program
+
+
+def stochastic_solve_fused(
+    state: sg.SurrogateState,
+    tp: TrajectoryParams,
+    rule: DecisionRule,
+    xstarts,
+    starts,
+    *,
+    max_iters: int = 50,
+    lr: float = 0.01,
+    inner_iterations: int = 12,
+    draw_mode: str = "reparam",
+    program=None,
+):
+    """Multi-restart SGA in ONE device dispatch (see make_fused_sga_program).
+
+    Same math and results as `stochastic_solve_stepped(sync_every=1)` but
+    with device-side exact early exit and no per-iteration tunnel
+    round-trips. Returns (xs (R, d), values (R,)).
+    """
+    dt = state.X.dtype
+    xs = jnp.asarray(starts, dt)
+    prog = program or make_fused_sga_program(
+        state, tp, rule, xstarts, max_iters=max_iters, lr=lr,
+        inner_iterations=inner_iterations, draw_mode=draw_mode,
+    )
+    return prog(state, tp.rnstream, xs)
 
 
 def stochastic_solve_stepped(

@@ -157,6 +157,36 @@ def test_scanned_matches_stepped():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_fused_matches_stepped():
+    """One-dispatch while_loop SGA (stochastic_solve_fused) must agree with
+    the host-chained loop it replaces (exact early-exit semantics: frozen
+    restarts do not move, so stopping the loop once all are done cannot
+    change the final points or values)."""
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, f.lbs, f.ubs), dt)
+    starts = jnp.asarray(qmc.generate_batch(3, f.lbs, f.ubs)[:3], dt)
+    z = jnp.asarray(qmc.gen_low_discrepancy_sequence(6, f.dim, 2), dt)
+    tp = TrajectoryParams(
+        x0=jnp.zeros((f.dim,), dt), theta=jnp.asarray([0.0], dt),
+        lbs=jnp.asarray(f.lbs, dt), ubs=jnp.asarray(f.ubs, dt), rnstream=z,
+    )
+    kw = dict(max_iters=4, lr=0.05, inner_iterations=4)
+    xs_s, vals_s = outer.stochastic_solve_stepped(
+        state, tp, EI(), xstarts, starts, sync_every=2, **kw)
+    xs_f, vals_f = outer.stochastic_solve_fused(
+        state, tp, EI(), xstarts, starts, **kw)
+    np.testing.assert_allclose(np.asarray(xs_f), np.asarray(xs_s),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vals_f), np.asarray(vals_s),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_cost_functions():
     """Cost models + cost-weighted acquisition (reference cost_functions.jl)."""
     import jax.numpy as jnp
