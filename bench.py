@@ -61,18 +61,18 @@ def main():
     rule = EI()
     restarts = jnp.asarray(qmc.generate_batch(num_restarts, f.lbs, f.ubs)[:num_restarts], dtype)
 
-    # production path: the whole multi-restart SGA solve is ONE device
-    # program (while_loop + device-side exact early exit; see
-    # outer.make_fused_sga_program and scripts/ab_fused_outer.py — 72 ms
-    # vs the scanned program's 317 ms at identical argmax)
+    # production path: the whole multi-restart SGA solve INCLUDING winner
+    # selection is ONE device program (while_loop + device-side exact early
+    # exit + on-device argmax; see outer.make_fused_sga_program and
+    # scripts/ab_fused_outer.py — vs the scanned program's 317 ms at
+    # identical argmax). Host-side argmax/gather would add two more
+    # round-trips through the device tunnel per acquisition.
     program = outer_mod.make_fused_sga_program(
         state, tp, rule, xstarts, max_iters=sgd_iters, lr=0.01,
-        inner_iterations=10)
+        inner_iterations=10, select_best=True)
 
     def acquire(state, rnstream, restarts):
-        xs, vals = program(state, rnstream, restarts)
-        j = int(jnp.argmax(vals))
-        return xs[j], vals[j]
+        return program(state, rnstream, restarts)
 
     # warmup / compile
     xb, vb = acquire(state, tp.rnstream, restarts)

@@ -49,10 +49,12 @@ def parse_args(argv=None):
                         "(reference utils.jl:267-306)")
     p.add_argument("--ghq-nodes", type=int, default=8)
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
-    p.add_argument("--outer-solver", default="batch",
-                   choices=["batch", "scanned"],
-                   help="scanned = k SGA iterations fused per dispatch with "
-                        "host-side early exit (the bench production path)")
+    p.add_argument("--outer-solver", default="fused",
+                   choices=["fused", "batch", "scanned"],
+                   help="fused = whole multi-restart SGA solve as ONE device "
+                        "program with exact on-device early exit (the bench "
+                        "production path); scanned = k SGA iterations fused "
+                        "per dispatch with host-side early exit")
     p.add_argument("--steps-per-call", type=int, default=10,
                    help="SGA iterations fused per dispatch (scanned solver)")
     return p.parse_args(argv)

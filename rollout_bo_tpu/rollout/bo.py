@@ -317,12 +317,11 @@ def run_nonmyopic_bo(
         program = outer_mod.make_fused_sga_program(
             state, tp0, rule, xstarts, max_iters=sgd_iters,
             lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
+            select_best=True,
         )
 
         def acquire(state: sg.SurrogateState, rnstream, restarts):
-            xs, vals = program(state, rnstream, restarts)
-            j = int(jnp.argmax(vals))
-            return xs[j], vals[j]
+            return program(state, rnstream, restarts)
     elif outer_solver == "scanned":
         tp0 = TrajectoryParams(
             x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
@@ -555,12 +554,11 @@ def run_adaptive_bo(
             program = outer_mod.make_fused_sga_program(
                 state, tp0, rule, xstarts, max_iters=sgd_iters, lr=lr,
                 inner_iterations=solver_iterations, draw_mode=draw_mode,
+                select_best=True,
             )
 
             def fn(state, restarts, rnstream, program=program):
-                xs, vals = program(state, rnstream, restarts)
-                j = int(jnp.argmax(vals))
-                return xs[j], vals[j]
+                return program(state, rnstream, restarts)
 
         acquire_cache[h] = fn
         return fn

@@ -356,6 +356,7 @@ def make_fused_sga_program(
     lr: float = 0.01,
     inner_iterations: int = 12,
     draw_mode: str = "reparam",
+    select_best: bool = False,
 ):
     """The ENTIRE multi-restart SGA solve as one device program.
 
@@ -369,7 +370,11 @@ def make_fused_sga_program(
     pinned by tests/test_adaptive.py::test_fused_matches_stepped.
 
     Returns a jitted `(state, rnstream, xs0) -> (xs, vals)` callable;
-    `vals` are evaluated at the final points.
+    `vals` are evaluated at the final points. With `select_best=True` the
+    argmax winner selection also runs on device and the program returns
+    `(x_best (d,), v_best ())` — one dispatch and one small transfer per
+    acquisition instead of three (solve, argmax, gather), which matters
+    when every dispatch pays a host<->device round-trip.
     """
 
     @jax.jit
@@ -420,6 +425,9 @@ def make_fused_sga_program(
             return eto.mu
 
         vals = jax.vmap(value_one)(xs)
+        if select_best:
+            j = jnp.argmax(vals)
+            return xs[j], vals[j]
         return xs, vals
 
     return program

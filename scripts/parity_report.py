@@ -1,0 +1,97 @@
+"""Regret-parity report: our results/ vs the reference's experiment CSVs.
+
+Reads final-gap distributions from this repo's `results/myopic/<fn>/
+<acq>_gaps.csv` (written by rollout_bo_tpu.experiments.myopic in the
+reference schema) and from the reference's
+`/root/reference/experiments/myopic/<fn>/<acq>_gaps.csv` (60 trials,
+budget 100, starts 64 — experiments/myopic/*/metadata.txt), and prints a
+side-by-side table of mean final gap with the two-sample z distance.
+SURVEY §6 sets the target: reproduce gap curves within trial noise.
+
+Also reports the nonmyopic horizon ladder (results/nonmyopic/<fn>/
+rollout_h<h>_gaps.csv vs the reference's archived
+nonmyopic-shortrun-timing data) where both sides have data.
+
+Run:  python scripts/parity_report.py [--ref /root/reference]
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def final_gaps(path):
+    """Final-column gap per completed trial; None if file absent/empty."""
+    if not os.path.exists(path):
+        return None
+    rows = list(csv.reader(open(path)))
+    vals = []
+    for r in rows[1:]:
+        try:
+            fr = [float(v) for v in r if v != ""]
+        except ValueError:
+            continue
+        if fr and fr[0] >= 0:  # skip the -1 sentinel row
+            vals.append(fr[-1])
+    return np.asarray(vals) if vals else None
+
+
+def z_distance(a, b):
+    """Two-sample z statistic of the mean difference (0 = identical)."""
+    va = np.var(a, ddof=1) / len(a) if len(a) > 1 else 0.0
+    vb = np.var(b, ddof=1) / len(b) if len(b) > 1 else 0.0
+    denom = np.sqrt(va + vb)
+    return abs(a.mean() - b.mean()) / denom if denom > 0 else float("inf")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ref", default="/root/reference")
+    args = p.parse_args(argv)
+
+    print("== myopic final gap: ours (results/) vs reference (60 trials) ==")
+    print(f"{'function':<16} {'acq':<7} {'ours':>7} {'n':>3} {'ref':>7} "
+          f"{'n':>3} {'|z|':>6}")
+    any_bad = False
+    for fn in ("sixhump", "braninhoo", "goldsteinprice", "griewank3d",
+               "ackley5d", "hartmann6d", "levy10d"):
+        for acq in ("ei", "poi", "lcb", "random"):
+            ours = final_gaps(os.path.join(REPO, "results/myopic", fn,
+                                           f"{acq}_gaps.csv"))
+            ref = final_gaps(os.path.join(args.ref, "experiments/myopic", fn,
+                                          f"{acq}_gaps.csv"))
+            if ours is None or ref is None:
+                continue
+            z = z_distance(ours, ref)
+            flag = "" if z < 3.0 else "  <-- outside trial noise"
+            if z >= 3.0:
+                any_bad = True
+            print(f"{fn:<16} {acq:<7} {ours.mean():>7.3f} {len(ours):>3} "
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+
+    print("\n== nonmyopic rollout final gap vs reference archived runs ==")
+    print(f"{'function':<16} {'h':>2} {'ours':>7} {'n':>3} {'ref':>7} {'n':>3} {'|z|':>6}")
+    arch = os.path.join(args.ref,
+                        "experiments/archived/nonmyopic-shortrun-timing/"
+                        "nonmyopic_bayesopt")
+    for fn in ("gramacylee", "ackley2d"):
+        for h in range(4):
+            ours = final_gaps(os.path.join(REPO, "results/nonmyopic", fn,
+                                           f"rollout_h{h}_gaps.csv"))
+            ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"))
+            if ours is None or ref is None:
+                continue
+            z = z_distance(ours, ref)
+            print(f"{fn:<16} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}")
+
+    sys.exit(1 if any_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

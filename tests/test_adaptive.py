@@ -187,6 +187,36 @@ def test_fused_matches_stepped():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_fused_select_best_matches_host_argmax():
+    """select_best=True moves winner selection on device; must equal the
+    host-side argmax over the (xs, vals) the same program returns."""
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    dt = state.X.dtype
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(4, f.lbs, f.ubs), dt)
+    starts = jnp.asarray(qmc.generate_batch(3, f.lbs, f.ubs)[:3], dt)
+    z = jnp.asarray(qmc.gen_low_discrepancy_sequence(6, f.dim, 2), dt)
+    tp = TrajectoryParams(
+        x0=jnp.zeros((f.dim,), dt), theta=jnp.asarray([0.0], dt),
+        lbs=jnp.asarray(f.lbs, dt), ubs=jnp.asarray(f.ubs, dt), rnstream=z,
+    )
+    kw = dict(max_iters=3, lr=0.05, inner_iterations=4)
+    xs, vals = outer.stochastic_solve_fused(
+        state, tp, EI(), xstarts, starts, **kw)
+    prog = outer.make_fused_sga_program(
+        state, tp, EI(), xstarts, select_best=True, **kw)
+    xb, vb = prog(state, tp.rnstream, starts)
+    j = int(np.argmax(np.asarray(vals)))
+    np.testing.assert_allclose(np.asarray(xb), np.asarray(xs)[j],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(vb), float(np.asarray(vals)[j]),
+                               rtol=1e-6, atol=1e-8)
+
+
 def test_cost_functions():
     """Cost models + cost-weighted acquisition (reference cost_functions.jl)."""
     import jax.numpy as jnp
