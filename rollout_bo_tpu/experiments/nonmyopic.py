@@ -57,6 +57,9 @@ def parse_args(argv=None):
                         "per dispatch with host-side early exit")
     p.add_argument("--steps-per-call", type=int, default=10,
                    help="SGA iterations fused per dispatch (scanned solver)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="snapshot the trial every N iterations (0 = off); a "
+                        "crashed run resumes from the last snapshot")
     return p.parse_args(argv)
 
 
@@ -95,6 +98,8 @@ def main(argv=None):
         x_init = np.asarray(f.lbs) + (np.asarray(f.ubs) - np.asarray(f.lbs)) \
             * rng.uniform(size=(5, f.dim))
         t0 = time.time()
+        ckpt_path = (os.path.join(outdir, f"rollout_h{h}_trial{trial}_ckpt")
+                     if args.checkpoint_every else None)
         res = bo.run_nonmyopic_bo(
             f, horizon=h, mc_iters=args.mc_samples, budget=args.budget,
             num_starts=args.starts, num_restarts=args.batch_size,
@@ -104,7 +109,11 @@ def main(argv=None):
             rule=dr.EI(), x_init=x_init, mesh=mesh,
             deterministic=args.deterministic_solve, ghq_nodes=args.ghq_nodes,
             outer_solver=args.outer_solver, steps_per_call=args.steps_per_call,
+            checkpoint_path=ckpt_path,
+            checkpoint_every=args.checkpoint_every or 5,
         )
+        if ckpt_path is not None and os.path.exists(ckpt_path + ".npz"):
+            os.remove(ckpt_path + ".npz")  # completed trial: drop snapshot
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_times"), res.times)
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_gaps"), res.gaps)
         log.write_to_csv(os.path.join(outdir, f"rollout_h{h}_observations"),

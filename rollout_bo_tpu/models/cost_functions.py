@@ -1,10 +1,13 @@
 """Evaluation-cost models for cost-aware acquisition.
 
-Re-design of `/root/reference/cost_functions.jl`. As in the reference,
-cost functions are not wired into the live acquisition path (reference
-README.md:21-26 marks cost-aware acquisition aspirational); they are
-provided for API parity and for cost-weighted acquisition experiments:
-`cost_weighted_rule` divides a base acquisition by the model cost.
+Re-design of `/root/reference/cost_functions.jl`. The reference never
+wires costs into its live acquisition path (README.md:21-26 marks
+cost-aware acquisition aspirational); here they are fully functional:
+`CostAwareRule` weights any decision rule by 1/c(x) and plugs into
+every solver and the rollout engine (the inner multistart Newton solve,
+the fantasy trajectories, and the outer SGA all accept it unchanged —
+the x-dependent cost corrections are applied inside
+models/surrogate.py's acquisition value/grad/Hessian).
 """
 
 from __future__ import annotations
@@ -15,12 +18,16 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from rollout_bo_tpu.models.decision_rules import DecisionRule
+
 __all__ = [
     "CostFunction",
     "UniformCost",
     "NonUniformCost",
     "UnitCost",
     "GaussianProcessCost",
+    "CostAwareRule",
+    "cost_aware",
     "cost_weighted_rule",
 ]
 
@@ -76,6 +83,28 @@ def GaussianProcessCost(state) -> CostFunction:
         return jnp.maximum(p.mu, 1e-6)
 
     return CostFunction(f=f, uniform=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class CostAwareRule(DecisionRule):
+    """A decision rule maximized per unit evaluation cost: alpha(x)/c(x).
+
+    Keeps the base rule's `name` (so Random dispatch and MLE gating keep
+    working) and its (mu, sigma, theta) partials; the x-dependent 1/c(x)
+    weighting — value, gradient, and Hessian quotient-rule corrections —
+    is applied by models/surrogate.py::acquisition{,_grad,
+    _value_grad_hess}, which every solver (XLA Newton, IFT adjoint,
+    outer SGA) consumes. The Pallas hot kernel does not implement the
+    cost channel, so rollout/solvers.py routes cost-aware rules to the
+    XLA path.
+    """
+
+    cost: CostFunction | None = None
+
+
+def cost_aware(rule: DecisionRule, cost: CostFunction) -> CostAwareRule:
+    """Wrap a rule so every solver maximizes alpha(x) / c(x)."""
+    return CostAwareRule(name=rule.name, sigma_tol=rule.sigma_tol, cost=cost)
 
 
 def cost_weighted_rule(rule, cost: CostFunction):

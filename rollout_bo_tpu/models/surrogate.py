@@ -290,11 +290,35 @@ def gp_draw_joint(state: SurrogateState, x, z):
 # --------------------------------------------------------------------------
 
 
+_COST_FLOOR = 1e-12
+
+
+def _rule_cost(rule, x):
+    """(c, grad c, hess c) for a cost-aware rule, or None.
+
+    CostAwareRule (models/cost_functions.py) carries an x-dependent
+    evaluation-cost model; every solver maximizes alpha(x)/c(x).
+    """
+    cost = getattr(rule, "cost", None)
+    if cost is None:
+        return None
+    x = jnp.asarray(x)
+    c = jnp.maximum(cost(x), _COST_FLOOR)
+    return c, cost.grad(x).astype(x.dtype), cost.hess(x).astype(x.dtype)
+
+
 def acquisition(state: SurrogateState, rule: DecisionRule, x, theta):
-    """alpha(x) = g(mu(x), sigma(x), theta, fmini) (reference sx.αxθ)."""
+    """alpha(x) = g(mu(x), sigma(x), theta, fmini) (reference sx.αxθ).
+
+    For a CostAwareRule the value is alpha(x)/c(x) (EI-per-unit-cost).
+    """
     p = posterior(state, x)
     fmini = get_active_minimum(state)
-    return rule(p.mu, p.sigma, theta, fmini)
+    a = rule(p.mu, p.sigma, theta, fmini)
+    cq = _rule_cost(rule, x)
+    if cq is not None:
+        a = a / cq[0]
+    return a
 
 
 def acquisition_grad(state: SurrogateState, rule: DecisionRule, x, theta):
@@ -304,7 +328,12 @@ def acquisition_grad(state: SurrogateState, rule: DecisionRule, x, theta):
     a = rule(p.mu, p.sigma, theta, fmini)
     gmu = rule.dg_dmu(p.mu, p.sigma, theta, fmini)
     gsig = rule.dg_dsigma(p.mu, p.sigma, theta, fmini)
-    return a, gmu * p.grad_mu + gsig * p.grad_sigma
+    grad = gmu * p.grad_mu + gsig * p.grad_sigma
+    cq = _rule_cost(rule, x)
+    if cq is not None:  # quotient rule: (a/c)' = a'/c - a c'/c^2
+        c, gc, _ = cq
+        a, grad = a / c, grad / c - (a / c**2) * gc
+    return a, grad
 
 
 def acquisition_value_grad_hess(state: SurrogateState, rule: DecisionRule, x, theta):
@@ -332,6 +361,16 @@ def acquisition_value_grad_hess(state: SurrogateState, rule: DecisionRule, x, th
         + gsig * p.hess_sigma
         + gmusig * (cross + cross.T)
     )
+    cq = _rule_cost(rule, x)
+    if cq is not None:
+        # quotient rule for A = a/c:
+        # HA = Ha/c - (grad a grad c^T + grad c grad a^T)/c^2 - a Hc/c^2
+        #      + 2 a grad c grad c^T / c^3
+        c, gc, Hc = cq
+        xgc = jnp.outer(grad, gc)
+        hess = (hess / c - (xgc + xgc.T) / c**2 - (a / c**2) * Hc
+                + (2.0 * a / c**3) * jnp.outer(gc, gc))
+        a, grad = a / c, grad / c - (a / c**2) * gc
     return a, grad, hess
 
 

@@ -104,13 +104,20 @@ def run_myopic_bo(
         return res.x
 
     @jax.jit
-    def observe_step(state: sg.SurrogateState, xnext):
-        ynext = testfn.f(xnext)
-        return sg.condition(state, xnext, ynext), ynext
+    def observe_step(state: sg.SurrogateState, xnext, do_mle):
+        """Observe + condition + (masked) MLE in ONE dispatch.
 
-    @jax.jit
-    def mle_step(state: sg.SurrogateState):
-        return sg.optimize_hypers(state, klbs, kubs)
+        The hyperparameter refit runs unconditionally and is selected by
+        `do_mle` (lax.cond would recompile per branch combination); at
+        these sizes the refit is a few microseconds of device time while
+        a separate dispatch costs a full host<->device round-trip.
+        """
+        ynext = testfn.f(xnext)
+        st = sg.condition(state, xnext, ynext)
+        st_mle = sg.optimize_hypers(st, klbs, kubs)
+        st = jax.tree.map(
+            lambda a, b: jnp.where(do_mle, b, a), st, st_mle)
+        return st, ynext
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -130,7 +137,8 @@ def run_myopic_bo(
 
         if os.path.exists(checkpoint_path if checkpoint_path.endswith(".npz")
                           else checkpoint_path + ".npz"):
-            state, start_b, saved = ckpt.load_bo_checkpoint(checkpoint_path)
+            state, start_b, saved = ckpt.load_bo_checkpoint(
+                checkpoint_path, capacity=capacity)
             gaps[:start_b] = saved["gaps"][:start_b]
             regrets[:start_b] = saved["simple_regrets"][:start_b]
             min_obs[:start_b] = saved["minimum_observations"][:start_b]
@@ -151,9 +159,8 @@ def run_myopic_bo(
         gaps[b] = metrics.gap(initial_best, best, true_minimum)
         regrets[b] = metrics.simple_regret(true_minimum, best)
 
-        state, ynext = observe_step(state, xnext)
-        if (b + 1) % mle_every == 0 and rule.name != "Random":
-            state = mle_step(state)
+        do_mle = (b + 1) % mle_every == 0 and rule.name != "Random"
+        state, ynext = observe_step(state, xnext, jnp.asarray(do_mle))
         X_all.append(np.asarray(xnext))
         y_all.append(float(ynext))
         min_obs[b] = min(y_all)
@@ -243,6 +250,8 @@ def run_nonmyopic_bo(
     ghq_nodes: int = 8,
     outer_solver: str = "fused",
     steps_per_call: int = 10,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
 ) -> MyopicBOResult:
     """Non-myopic (rollout-EI) BO trial.
 
@@ -357,13 +366,14 @@ def run_nonmyopic_bo(
             return xs[j], vals[j]
 
     @jax.jit
-    def observe(state: sg.SurrogateState, xnext):
+    def observe(state: sg.SurrogateState, xnext, do_mle):
+        # observe + condition + masked MLE in one dispatch (see the
+        # myopic loop's observe_step for the rationale)
         ynext = testfn.f(xnext)
-        return sg.condition(state, xnext, ynext), ynext
-
-    @jax.jit
-    def mle_step(state: sg.SurrogateState):
-        return sg.optimize_hypers(state, klbs, kubs)
+        st = sg.condition(state, xnext, ynext)
+        st_mle = sg.optimize_hypers(st, klbs, kubs)
+        st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
+        return st, ynext
 
     fallback = _make_exploration_fallback(
         rule, theta, lbs_j, ubs_j, xstarts, solver_iterations)
@@ -377,8 +387,31 @@ def run_nonmyopic_bo(
     times = np.zeros(budget)
     X_all = [np.asarray(x) for x in x_init]
     y_all = list(map(float, y_init))
+    start_b = 0
 
-    for b in range(budget):
+    if checkpoint_path is not None:
+        import os
+
+        from rollout_bo_tpu.utils import checkpoint as ckpt
+
+        if os.path.exists(checkpoint_path if checkpoint_path.endswith(".npz")
+                          else checkpoint_path + ".npz"):
+            state, start_b, saved = ckpt.load_bo_checkpoint(
+                checkpoint_path, capacity=capacity)
+            gaps[:start_b] = saved["gaps"][:start_b]
+            regrets[:start_b] = saved["simple_regrets"][:start_b]
+            min_obs[:start_b] = saved["minimum_observations"][:start_b]
+            times[:start_b] = saved["times"][:start_b]
+            X_all = [np.asarray(x) for x in saved["X_all"]]
+            y_all = list(map(float, saved["y_all"]))
+            if not use_low_discrepancy:
+                # replay the per-iteration normal draws consumed so far so
+                # the resumed stream continues where the crash left off
+                # (the QMC stream is stateless and needs no replay)
+                for _ in range(start_b):
+                    make_rnstream()
+
+    for b in range(start_b, budget):
         # full reference batch: num_restarts Sobol points + the two
         # eps-interior near-boundary points (utils.jl:97-106); truncated
         # to num_restarts only when a mesh requires divisibility
@@ -400,12 +433,21 @@ def run_nonmyopic_bo(
         gaps[b] = metrics.gap(initial_best, best, true_minimum)
         regrets[b] = metrics.simple_regret(true_minimum, best)
 
-        state, ynext = observe(state, xnext)
-        if (b + 1) % mle_every == 0:
-            state = mle_step(state)
+        state, ynext = observe(
+            state, xnext, jnp.asarray((b + 1) % mle_every == 0))
         X_all.append(np.asarray(xnext))
         y_all.append(float(ynext))
         min_obs[b] = min(y_all)
+
+        if checkpoint_path is not None and (b + 1) % checkpoint_every == 0:
+            from rollout_bo_tpu.utils import checkpoint as ckpt
+
+            ckpt.save_bo_checkpoint(
+                checkpoint_path, state, iteration=b + 1,
+                metrics=dict(gaps=gaps, simple_regrets=regrets,
+                             minimum_observations=min_obs, times=times,
+                             X_all=np.stack(X_all), y_all=np.asarray(y_all)),
+            )
 
     return MyopicBOResult(
         X=np.stack(X_all),
@@ -564,13 +606,14 @@ def run_adaptive_bo(
         return fn
 
     @jax.jit
-    def observe(state: sg.SurrogateState, xnext):
+    def observe(state: sg.SurrogateState, xnext, do_mle):
+        # observe + condition + masked MLE in one dispatch (see the
+        # myopic loop's observe_step for the rationale)
         ynext = testfn.f(xnext)
-        return sg.condition(state, xnext, ynext), ynext
-
-    @jax.jit
-    def mle_step(state: sg.SurrogateState):
-        return sg.optimize_hypers(state, klbs, kubs)
+        st = sg.condition(state, xnext, ynext)
+        st_mle = sg.optimize_hypers(st, klbs, kubs)
+        st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
+        return st, ynext
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -604,9 +647,8 @@ def run_adaptive_bo(
         gaps[b] = metrics.gap(initial_best, best, true_minimum)
         regrets[b] = metrics.simple_regret(true_minimum, best)
 
-        state, ynext = observe(state, xnext)
-        if (b + 1) % mle_every == 0:
-            state = mle_step(state)
+        state, ynext = observe(
+            state, xnext, jnp.asarray((b + 1) % mle_every == 0))
         X_all.append(np.asarray(xnext))
         y_all.append(float(ynext))
         min_obs[b] = min(y_all)

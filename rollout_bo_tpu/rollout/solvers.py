@@ -42,6 +42,10 @@ def pallas_enabled(state: sg.SurrogateState, rule: DecisionRule) -> bool:
 
     if _PALLAS_MODE == "0":
         return False
+    if getattr(rule, "cost", None) is not None:
+        # cost-aware rules need the x-dependent 1/c(x) channel, which the
+        # lane kernel does not implement — use the XLA solver path
+        return False
     if not pn.supported(state.kernel.kind, rule.name):
         return False
     if state.X.dtype != jnp.float32 or state.kernel.theta.shape != (1,):

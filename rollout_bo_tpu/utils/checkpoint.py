@@ -73,20 +73,33 @@ def save_bo_checkpoint(path: str, state: sg.SurrogateState, *, iteration: int,
     np.savez(path, **payload)
 
 
-def load_bo_checkpoint(path: str):
-    """Returns (state, iteration, metrics dict)."""
+def load_bo_checkpoint(path: str, capacity: int | None = None):
+    """Returns (state, iteration, metrics dict).
+
+    `capacity` re-fits the surrogate's fixed-size buffers to a different
+    capacity (exact refactorization of the active observations) — needed
+    when a snapshot taken under one budget resumes under a larger one:
+    `condition` at full capacity would silently drop new observations
+    (the buffers are static under jit; see surrogate.condition).
+    """
     if not path.endswith(".npz"):
         path = path + ".npz"
     z = np.load(path, allow_pickle=False)
-    state = sg.SurrogateState(
-        kernel=kern.RBFKernel(theta=jnp.asarray(z["theta"]), kind=str(z["kind"])),
-        X=jnp.asarray(z["X"]),
-        y=jnp.asarray(z["y"]),
-        L=jnp.asarray(z["L"]),
-        c=jnp.asarray(z["c"]),
-        n=jnp.asarray(z["n"]),
-        noise=jnp.asarray(z["noise"]),
-        Li=chol_ops.tri_inv_padded(jnp.asarray(z["L"])),
-    )
+    kernel = kern.RBFKernel(theta=jnp.asarray(z["theta"]), kind=str(z["kind"]))
+    n = int(z["n"])
+    if capacity is not None and capacity != z["X"].shape[0]:
+        state = sg.fit(kernel, z["X"][:n], z["y"][:n], capacity=capacity,
+                       noise=float(z["noise"]), dtype=z["X"].dtype)
+    else:
+        state = sg.SurrogateState(
+            kernel=kernel,
+            X=jnp.asarray(z["X"]),
+            y=jnp.asarray(z["y"]),
+            L=jnp.asarray(z["L"]),
+            c=jnp.asarray(z["c"]),
+            n=jnp.asarray(z["n"]),
+            noise=jnp.asarray(z["noise"]),
+            Li=chol_ops.tri_inv_padded(jnp.asarray(z["L"])),
+        )
     metrics = {k[len("metric_"):]: z[k] for k in z.files if k.startswith("metric_")}
     return state, int(z["iteration"]), metrics

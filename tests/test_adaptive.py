@@ -217,6 +217,69 @@ def test_fused_select_best_matches_host_argmax():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_cost_aware_rule_derivatives_and_rollout():
+    """CostAwareRule: alpha/c value, quotient-rule grad/Hess vs autodiff,
+    and the full rollout stack (inner solve + MC simulate + gradient)
+    accepting it unchanged. Goes beyond the reference, whose cost-aware
+    acquisition is aspirational (cost_functions.jl:46-47, README.md:21-26)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rollout_bo_tpu.models import cost_functions as cf
+    from rollout_bo_tpu.models import surrogate as sg
+    from rollout_bo_tpu.rollout import mc as mc_mod
+    from rollout_bo_tpu.rollout import solvers
+    from rollout_bo_tpu.rollout.trajectory import TrajectoryParams
+
+    f = testfns.get_function("sixhump")
+    state = _small_state(f)
+    dt = state.X.dtype
+    cost = cf.NonUniformCost(lambda x: 2.0 + jnp.sum((x - 0.5) ** 2))
+    rule = cf.cost_aware(EI(), cost)
+    assert rule.name == "EI"
+    theta = jnp.asarray([0.0], dt)
+    x = jnp.asarray([0.4, -0.3], dt)
+
+    # value = base alpha / cost
+    a_base = sg.acquisition(state, EI(), x, theta)
+    a_cw = sg.acquisition(state, rule, x, theta)
+    np.testing.assert_allclose(float(a_cw), float(a_base) / float(cost(x)),
+                               rtol=1e-12)
+
+    # quotient-rule grad/Hess vs autodiff of the composed scalar
+    a, g, H = sg.acquisition_value_grad_hess(state, rule, x, theta)
+    g_ad = jax.grad(lambda xv: sg.acquisition(state, rule, xv, theta))(x)
+    H_ad = jax.hessian(lambda xv: sg.acquisition(state, rule, xv, theta))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ad),
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(H), np.asarray(H_ad),
+                               rtol=1e-7, atol=1e-10)
+    a2, g2 = sg.acquisition_grad(state, rule, x, theta)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ad),
+                               rtol=1e-8, atol=1e-12)
+
+    # the Pallas hot path must reject cost-aware rules
+    assert not solvers.pallas_enabled(state, rule)
+
+    # inner multistart solve accepts it and lands where alpha/c is best
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(6, f.lbs, f.ubs), dt)
+    res = solvers.multistart_maximize(
+        state, rule, theta, jnp.asarray(f.lbs, dt), jnp.asarray(f.ubs, dt),
+        xstarts, iterations=8)
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+    # full rollout acquisition + gradient under the cost-aware base policy
+    z = jnp.asarray(qmc.gen_low_discrepancy_sequence(6, f.dim, 2), dt)
+    tp = TrajectoryParams(
+        x0=jnp.asarray([0.1, 0.2], dt), theta=theta,
+        lbs=jnp.asarray(f.lbs, dt), ubs=jnp.asarray(f.ubs, dt), rnstream=z,
+    )
+    eto = mc_mod.simulate_trajectory_mc(state, tp, rule, xstarts,
+                                        with_gradients=True, iterations=6)
+    assert np.isfinite(float(eto.mu))
+    assert np.all(np.isfinite(np.asarray(eto.grad_x)))
+
+
 def test_cost_functions():
     """Cost models + cost-weighted acquisition (reference cost_functions.jl)."""
     import jax.numpy as jnp
@@ -244,6 +307,26 @@ def test_cost_functions():
     a = sg.acquisition(state, rule, x, jnp.asarray([0.0]))
     assert np.isclose(float(wa(state, x, jnp.asarray([0.0]))),
                       float(a) / float(nu(x)))
+
+
+def test_nonmyopic_checkpoint_resume(tmp_path):
+    """A non-myopic trial interrupted mid-run resumes from its snapshot and
+    matches an uninterrupted run exactly (the QMC streams and Sobol restart
+    batches are stateless, so only the surrogate + metrics need restoring)."""
+    f = testfns.get_function("sixhump")
+    x_init = qmc.randsample(3, f.dim, f.lbs, f.ubs, np.random.default_rng(5))
+    kw = dict(horizon=1, mc_iters=4, num_starts=4, num_restarts=2,
+              sgd_iters=2, seed=13, x_init=x_init, solver_iterations=4)
+
+    full = bo.run_nonmyopic_bo(f, budget=4, **kw)
+
+    ck = str(tmp_path / "nm_ck")
+    bo.run_nonmyopic_bo(f, budget=2, checkpoint_path=ck,
+                        checkpoint_every=2, **kw)
+    res = bo.run_nonmyopic_bo(f, budget=4, checkpoint_path=ck,
+                              checkpoint_every=2, **kw)
+    np.testing.assert_allclose(res.y, full.y, rtol=1e-10)
+    np.testing.assert_allclose(res.gaps, full.gaps, rtol=1e-10)
 
 
 def test_myopic_checkpoint_resume(tmp_path):
