@@ -36,6 +36,27 @@ __all__ = [
 ]
 
 
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached_program(key, builder):
+    """Reuse jitted programs across BO-runner calls (e.g. CLI trials).
+
+    A fresh `@jax.jit` closure per runner call retraces and RECOMPILES
+    identical HLO every trial; the remote-compile path (axon tunnel)
+    cannot reload executables from the persistent compile cache, so each
+    trial of a CLI sweep paid the full compile (~46 s at the myopic
+    suite scale, measured in the per-iteration times CSV). The key must
+    cover everything the traced closure captures: rule, bounds, shapes,
+    dtype, kernel kind, and solver hyperparameters.
+    """
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _PROGRAM_CACHE[key] = fn
+    return fn
+
+
 @dataclass
 class MyopicBOResult:
     X: np.ndarray                # (n_init + budget, d) all sampled points
@@ -95,29 +116,46 @@ def run_myopic_bo(
     klbs = jnp.asarray(kernel_lbs, dt)
     kubs = jnp.asarray(kernel_ubs, dt)
 
-    @jax.jit
-    def solve_step(state: sg.SurrogateState, key):
-        res = solvers.multistart_maximize(
-            state, rule, theta, lbs, ubs, xstarts,
-            iterations=solver_iterations, key=key,
-        )
-        return res.x
+    _shape_key = (capacity, d, str(dt), kernel.kind,
+                  tuple(np.asarray(lbs).tolist()), tuple(np.asarray(ubs).tolist()))
 
-    @jax.jit
-    def observe_step(state: sg.SurrogateState, xnext, do_mle):
-        """Observe + condition + (masked) MLE in ONE dispatch.
+    def _build_solve():
+        @jax.jit
+        def solve_step(state: sg.SurrogateState, key):
+            res = solvers.multistart_maximize(
+                state, rule, theta, lbs, ubs, xstarts,
+                iterations=solver_iterations, key=key,
+            )
+            return res.x
 
-        The hyperparameter refit runs unconditionally and is selected by
-        `do_mle` (lax.cond would recompile per branch combination); at
-        these sizes the refit is a few microseconds of device time while
-        a separate dispatch costs a full host<->device round-trip.
-        """
-        ynext = testfn.f(xnext)
-        st = sg.condition(state, xnext, ynext)
-        st_mle = sg.optimize_hypers(st, klbs, kubs)
-        st = jax.tree.map(
-            lambda a, b: jnp.where(do_mle, b, a), st, st_mle)
-        return st, ynext
+        return solve_step
+
+    def _build_observe():
+        @jax.jit
+        def observe_step(state: sg.SurrogateState, xnext, do_mle):
+            """Observe + condition + (masked) MLE in ONE dispatch.
+
+            The hyperparameter refit runs unconditionally and is selected
+            by `do_mle` (lax.cond would recompile per branch combination);
+            at these sizes the refit is a few microseconds of device time
+            while a separate dispatch costs a host<->device round-trip.
+            """
+            ynext = testfn.f(xnext)
+            st = sg.condition(state, xnext, ynext)
+            st_mle = sg.optimize_hypers(st, klbs, kubs)
+            st = jax.tree.map(
+                lambda a, b: jnp.where(do_mle, b, a), st, st_mle)
+            return st, ynext
+
+        return observe_step
+
+    solve_step = _cached_program(
+        ("myopic_solve", rule, tuple(np.asarray(theta).tolist()),
+         num_starts, solver_iterations, _shape_key), _build_solve)
+    observe_step = _cached_program(
+        ("myopic_observe", id(testfn),
+         tuple(np.asarray(kernel_lbs).tolist()),
+         tuple(np.asarray(kernel_ubs).tolist()), _shape_key), _build_observe)
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -306,77 +344,95 @@ def run_nonmyopic_bo(
             z = rng.normal(size=(mc_iters, d + 1, horizon + 1))
         return jnp.asarray(z, dt)
 
-    if deterministic:
+    # rnstream placeholder: the programs always substitute their rnstream
+    # argument (tp._replace), only the shape is traced
+    tp0 = TrajectoryParams(
+        x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
+        rnstream=jnp.zeros((mc_iters, d + 1, horizon + 1), dt),
+    )
+    _shape_key = (capacity, d, str(dt), kernel.kind,
+                  tuple(np.asarray(lbs).tolist()), tuple(np.asarray(ubs).tolist()))
+    _acq_key = ("nm_acquire", rule, tuple(np.asarray(theta).tolist()),
+                horizon, mc_iters, num_starts, num_restarts, sgd_iters, lr,
+                solver_iterations, draw_mode, deterministic, ghq_nodes,
+                outer_solver, steps_per_call, _shape_key)
+
+    def _build_acquire():
+        if deterministic:
+            @jax.jit
+            def acquire(state: sg.SurrogateState, rnstream, restarts):
+                xs, vals = outer_mod.deterministic_solve_batch(
+                    state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
+                    horizon=horizon, num_nodes=ghq_nodes, max_iters=sgd_iters,
+                    lr=lr, inner_iterations=solver_iterations,
+                )
+                j = jnp.argmax(vals)
+                return xs[j], vals[j]
+
+            return acquire
+        if outer_solver == "fused":
+            program = outer_mod.make_fused_sga_program(
+                state, tp0, rule, xstarts, max_iters=sgd_iters,
+                lr=lr, inner_iterations=solver_iterations,
+                draw_mode=draw_mode, select_best=True,
+            )
+
+            def acquire(state: sg.SurrogateState, rnstream, restarts):
+                return program(state, rnstream, restarts)
+
+            return acquire
+        if outer_solver == "scanned":
+            program = outer_mod.make_scanned_sga_program(
+                state, tp0, rule, xstarts, steps_per_call=steps_per_call,
+                lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
+            )
+
+            def acquire(state: sg.SurrogateState, rnstream, restarts):
+                xs, vals = outer_mod.stochastic_solve_scanned(
+                    state, tp0._replace(rnstream=rnstream), rule, xstarts,
+                    restarts, max_iters=sgd_iters, lr=lr,
+                    inner_iterations=solver_iterations, draw_mode=draw_mode,
+                    program=program,
+                )
+                j = int(jnp.argmax(vals))
+                return xs[j], vals[j]
+
+            return acquire
+
         @jax.jit
         def acquire(state: sg.SurrogateState, rnstream, restarts):
-            xs, vals = outer_mod.deterministic_solve_batch(
-                state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
-                horizon=horizon, num_nodes=ghq_nodes, max_iters=sgd_iters,
-                lr=lr, inner_iterations=solver_iterations,
-            )
-            j = jnp.argmax(vals)
-            return xs[j], vals[j]
-    elif outer_solver == "fused":
-        # rnstream placeholder: the program always substitutes its
-        # rnstream argument (tp._replace), only the shape is traced
-        tp0 = TrajectoryParams(
-            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
-            rnstream=jnp.zeros((mc_iters, d + 1, horizon + 1), dt),
-        )
-        program = outer_mod.make_fused_sga_program(
-            state, tp0, rule, xstarts, max_iters=sgd_iters,
-            lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
-            select_best=True,
-        )
-
-        def acquire(state: sg.SurrogateState, rnstream, restarts):
-            return program(state, rnstream, restarts)
-    elif outer_solver == "scanned":
-        tp0 = TrajectoryParams(
-            x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
-            rnstream=make_rnstream(),
-        )
-        program = outer_mod.make_scanned_sga_program(
-            state, tp0, rule, xstarts, steps_per_call=steps_per_call,
-            lr=lr, inner_iterations=solver_iterations, draw_mode=draw_mode,
-        )
-
-        def acquire(state: sg.SurrogateState, rnstream, restarts):
-            xs, vals = outer_mod.stochastic_solve_scanned(
+            xs, vals = outer_mod.stochastic_solve_batch(
                 state, tp0._replace(rnstream=rnstream), rule, xstarts,
                 restarts, max_iters=sgd_iters, lr=lr,
                 inner_iterations=solver_iterations, draw_mode=draw_mode,
-                program=program,
-            )
-            j = int(jnp.argmax(vals))
-            return xs[j], vals[j]
-    else:
-        @jax.jit
-        def acquire(state: sg.SurrogateState, rnstream, restarts):
-            tp = TrajectoryParams(
-                x0=jnp.zeros((d,), dt), theta=theta, lbs=lbs_j, ubs=ubs_j,
-                rnstream=rnstream,
-            )
-            xs, vals = outer_mod.stochastic_solve_batch(
-                state, tp, rule, xstarts, restarts,
-                max_iters=sgd_iters, lr=lr, inner_iterations=solver_iterations,
-                draw_mode=draw_mode,
             )
             j = jnp.argmax(vals)
             return xs[j], vals[j]
 
-    @jax.jit
-    def observe(state: sg.SurrogateState, xnext, do_mle):
-        # observe + condition + masked MLE in one dispatch (see the
-        # myopic loop's observe_step for the rationale)
-        ynext = testfn.f(xnext)
-        st = sg.condition(state, xnext, ynext)
-        st_mle = sg.optimize_hypers(st, klbs, kubs)
-        st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
-        return st, ynext
+        return acquire
 
-    fallback = _make_exploration_fallback(
-        rule, theta, lbs_j, ubs_j, xstarts, solver_iterations)
+    def _build_observe():
+        @jax.jit
+        def observe(state: sg.SurrogateState, xnext, do_mle):
+            # observe + condition + masked MLE in one dispatch (see the
+            # myopic loop's observe_step for the rationale)
+            ynext = testfn.f(xnext)
+            st = sg.condition(state, xnext, ynext)
+            st_mle = sg.optimize_hypers(st, klbs, kubs)
+            st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
+            return st, ynext
+
+        return observe
+
+    acquire = _cached_program(_acq_key, _build_acquire)
+    observe = _cached_program(
+        ("nm_observe", id(testfn), tuple(np.asarray(kernel_lbs).tolist()),
+         tuple(np.asarray(kernel_ubs).tolist()), _shape_key), _build_observe)
+    fallback = _cached_program(
+        ("nm_fallback", rule, tuple(np.asarray(theta).tolist()),
+         num_starts, solver_iterations, _shape_key),
+        lambda: _make_exploration_fallback(
+            rule, theta, lbs_j, ubs_j, xstarts, solver_iterations))
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -567,13 +623,25 @@ def run_adaptive_bo(
             z = rng.normal(size=(mc_iters, d + 1, h + 1))
         return jnp.asarray(z, dt)
 
-    # one compiled acquisition program per distinct horizon
+    _shape_key = (capacity, d, str(dt), kernel.kind,
+                  tuple(np.asarray(lbs).tolist()), tuple(np.asarray(ubs).tolist()))
+
+    # one compiled acquisition program per distinct horizon, shared across
+    # trials via the module program cache (see _cached_program)
     acquire_cache: dict[int, Callable] = {}
 
     def acquire_for(h):
         if h in acquire_cache:
             return acquire_cache[h]
+        key = ("ad_acquire", rule, tuple(np.asarray(theta).tolist()), h,
+               mc_iters, num_starts, num_restarts, sgd_iters, lr,
+               solver_iterations, draw_mode, deterministic, ghq_nodes,
+               _shape_key)
+        fn = _cached_program(key, lambda: _build_acquire_for(h))
+        acquire_cache[h] = fn
+        return fn
 
+    def _build_acquire_for(h):
         if deterministic:
             @jax.jit
             def acq(state, restarts):
@@ -602,18 +670,29 @@ def run_adaptive_bo(
             def fn(state, restarts, rnstream, program=program):
                 return program(state, rnstream, restarts)
 
-        acquire_cache[h] = fn
         return fn
 
-    @jax.jit
-    def observe(state: sg.SurrogateState, xnext, do_mle):
-        # observe + condition + masked MLE in one dispatch (see the
-        # myopic loop's observe_step for the rationale)
-        ynext = testfn.f(xnext)
-        st = sg.condition(state, xnext, ynext)
-        st_mle = sg.optimize_hypers(st, klbs, kubs)
-        st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
-        return st, ynext
+    def _build_observe():
+        @jax.jit
+        def observe(state: sg.SurrogateState, xnext, do_mle):
+            # observe + condition + masked MLE in one dispatch (see the
+            # myopic loop's observe_step for the rationale)
+            ynext = testfn.f(xnext)
+            st = sg.condition(state, xnext, ynext)
+            st_mle = sg.optimize_hypers(st, klbs, kubs)
+            st = jax.tree.map(lambda a, bb: jnp.where(do_mle, bb, a), st, st_mle)
+            return st, ynext
+
+        return observe
+
+    observe = _cached_program(
+        ("nm_observe", id(testfn), tuple(np.asarray(kernel_lbs).tolist()),
+         tuple(np.asarray(kernel_ubs).tolist()), _shape_key), _build_observe)
+    fallback = _cached_program(
+        ("nm_fallback", rule, tuple(np.asarray(theta).tolist()),
+         num_starts, solver_iterations, _shape_key),
+        lambda: _make_exploration_fallback(
+            rule, theta, lbs_j, ubs_j, xstarts, solver_iterations))
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -625,9 +704,6 @@ def run_adaptive_bo(
     allocations = np.zeros(budget)
     X_all = [np.asarray(x) for x in x_init]
     y_all = list(map(float, y_init))
-
-    fallback = _make_exploration_fallback(
-        rule, theta, lbs_j, ubs_j, xstarts, solver_iterations)
 
     for b in range(budget):
         h = max(0, int(schedule(b, budget)))

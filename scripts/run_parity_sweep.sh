@@ -9,17 +9,8 @@ set -u
 cd "$(dirname "$0")/.."
 
 OUT=results/myopic
-TRIALS="${TRIALS:-10}"
+TRIALS="${TRIALS:-5}"
 BUDGET="${BUDGET:-100}"
-
-for fn in sixhump braninhoo goldsteinprice griewank3d ackley5d hartmann6d levy10d; do
-  echo "=== myopic $fn ==="
-  python -m rollout_bo_tpu.experiments.myopic \
-    --function-name "$fn" --output-dir "$OUT" \
-    --trials "$TRIALS" --budget "$BUDGET" --starts 64 \
-    --acquisitions ei poi lcb random --seed 1906 \
-    || echo "myopic $fn FAILED (continuing)"
-done
 
 # reference nonmyopic-shortrun-timing metadata.txt: budget 15, 30 trials,
 # 8 starts, 200 MC, batch 8, SGD 50, optimize, variance reduction
@@ -36,6 +27,15 @@ for fn in gramacylee ackley2d; do
       --seed 1906 --dtype float32 \
       || echo "nonmyopic $fn h=$h FAILED (continuing)"
   done
+done
+
+for fn in sixhump braninhoo goldsteinprice griewank3d ackley5d hartmann6d levy10d; do
+  echo "=== myopic $fn ==="
+  python -m rollout_bo_tpu.experiments.myopic \
+    --function-name "$fn" --output-dir "$OUT" \
+    --trials "$TRIALS" --budget "$BUDGET" --starts 64 \
+    --acquisitions ei poi lcb random --seed 1906 \
+    || echo "myopic $fn FAILED (continuing)"
 done
 
 echo "sweep done"
