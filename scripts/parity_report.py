@@ -90,6 +90,37 @@ def main(argv=None):
             print(f"{fn:<16} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
                   f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}")
 
+    # -- §6.2 timing ladder: per-iteration rollout solve time vs horizon --
+    print("\n== nonmyopic per-iteration solve seconds vs horizon "
+          "(BASELINE §6.2 ladder; ours = steady-state median, first "
+          "iteration of each trial dropped as compile) ==")
+    print(f"{'function':<16} {'h':>2} {'ours':>8} {'ref':>8} {'speedup':>9}")
+    for fn in ("gramacylee", "ackley2d"):
+        for h in range(4):
+            ours_p = os.path.join(REPO, "results/nonmyopic", fn,
+                                  f"rollout_h{h}_times.csv")
+            ref_p = os.path.join(arch, fn, f"rollout_h{h}_times.csv")
+            if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+                continue
+            rows = list(csv.reader(open(ours_p)))
+            per_iter = []
+            for r in rows[1:]:
+                v = np.asarray([float(x) for x in r if x != ""])
+                if v.size > 1 and v[0] >= 0:
+                    per_iter.extend(v[1:])  # drop compile-dominated iter 1
+            rrows = list(csv.reader(open(ref_p)))
+            ref_iter = []
+            for r in rrows[1:]:
+                v = np.asarray([float(x) for x in r if x != ""])
+                if v.size and v[0] >= 0:
+                    ref_iter.extend(v)
+            if not per_iter or not ref_iter:
+                continue
+            ours_med = float(np.median(per_iter))
+            ref_mean = float(np.mean(ref_iter))
+            print(f"{fn:<16} {h:>2} {ours_med:>8.3f} {ref_mean:>8.2f} "
+                  f"{ref_mean / ours_med:>8.1f}x")
+
     sys.exit(1 if any_bad else 0)
 
 
