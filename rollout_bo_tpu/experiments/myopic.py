@@ -46,6 +46,7 @@ def parse_args(argv=None):
 
 ACQS = {
     "ei": (dr.EI, (0.0,)),
+    "logei": (dr.LogEI, (0.0,)),  # stable log-EI (same argmax as EI)
     "poi": (dr.POI, (0.0,)),
     "lcb": (dr.LCB, (2.0,)),
     "random": (dr.RandomAcquisition, (0.0,)),

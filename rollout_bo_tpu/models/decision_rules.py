@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-__all__ = ["DecisionRule", "EI", "POI", "LCB", "RandomAcquisition", "RULES"]
+__all__ = ["DecisionRule", "EI", "LogEI", "POI", "LCB", "RandomAcquisition",
+           "RULES"]
 
 
 # |z| beyond this is saturated: cdf/pdf tails are < 1e-190, and the clamp
@@ -54,7 +55,38 @@ def _random(mu, sigma, theta, fmini, sigma_tol):
     return jnp.zeros_like(mu)
 
 
-_RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random}
+def _logei(mu, sigma, theta, fmini, sigma_tol):
+    """Numerically stable log(EI) (LogEI; Ament et al. 2023).
+
+    Same argmax as EI but well-conditioned where EI underflows — the
+    far-from-incumbent plateaus that defeat f32 EI on TPU (the reference's
+    stale runtests.jl:89-118 checks logEI derivative variants; its live
+    rules never gained one). log g(z) with g(z) = z*Phi(z) + phi(z):
+    direct for moderate z; for z << 0 via the Mills-ratio form
+    log phi(z) + log1p(z * Phi(z)/phi(z)), all terms in log space.
+    """
+    from jax.scipy.special import log_ndtr
+
+    s = jnp.maximum(sigma, sigma_tol)
+    z = (fmini - mu - theta[0]) / s
+    log_phi = -0.5 * z**2 - 0.5 * jnp.log(2.0 * jnp.pi)
+    # z >= -1: direct (g(z) >= g(-1) ~ 0.083, no cancellation)
+    zsafe = jnp.maximum(z, -1.0)
+    g_direct = zsafe * norm.cdf(zsafe) + norm.pdf(zsafe)
+    direct = jnp.log(jnp.maximum(g_direct, jnp.finfo(s.dtype).tiny))
+    # z < -1: log phi + log1p(z * mills), mills = Phi/phi in log space
+    zneg = jnp.minimum(z, -1.0)
+    log_phi_neg = -0.5 * zneg**2 - 0.5 * jnp.log(2.0 * jnp.pi)
+    zmills = zneg * jnp.exp(log_ndtr(zneg) - log_phi_neg)  # in (-1, 0)
+    tail = log_phi_neg + jnp.log1p(jnp.maximum(zmills, -1.0 + 1e-15))
+    log_g = jnp.where(z >= -1.0, direct, tail)
+    val = jnp.log(s) + log_g
+    floor = jnp.log(jnp.asarray(sigma_tol, s.dtype))
+    return jnp.where(sigma < sigma_tol, floor + log_g, val)
+
+
+_RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random,
+             "LogEI": _logei}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +139,10 @@ def EI(sigma_tol: float = 1e-8) -> DecisionRule:
     return DecisionRule("EI", sigma_tol)
 
 
+def LogEI(sigma_tol: float = 1e-8) -> DecisionRule:
+    return DecisionRule("LogEI", sigma_tol)
+
+
 def POI(sigma_tol: float = 1e-8) -> DecisionRule:
     return DecisionRule("POI", sigma_tol)
 
@@ -119,4 +155,5 @@ def RandomAcquisition() -> DecisionRule:
     return DecisionRule("Random")
 
 
-RULES = {"EI": EI, "POI": POI, "LCB": LCB, "Random": RandomAcquisition}
+RULES = {"EI": EI, "LogEI": LogEI, "POI": POI, "LCB": LCB,
+         "Random": RandomAcquisition}

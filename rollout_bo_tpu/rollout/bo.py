@@ -242,18 +242,24 @@ def _make_exploration_fallback(rule, theta, lbs_j, ubs_j, xstarts,
     a new point, keeping the surrogate update well-posed.
     """
 
-    if rule.name == "Random":  # needs a PRNG key; EI is the sane fallback
-        rule = EI()
+    # LogEI never flattens: where EI underflows to an exact zero surface
+    # (the precise scenario this fallback exists for), log EI still has a
+    # finite value and gradient for the solver to follow — so the analytic
+    # fallback solve uses the log form regardless of the rollout's base
+    # rule (same argmax as EI; test_logei_matches_log_of_ei_and_is_stable)
+    from rollout_bo_tpu.models.decision_rules import LogEI
+
+    log_rule = LogEI() if rule.name in ("EI", "LogEI", "Random") else rule
 
     @jax.jit
     def fallback(state: sg.SurrogateState):
         res = solvers.multistart_maximize(
-            state, rule, theta, lbs_j, ubs_j, xstarts,
+            state, log_rule, theta, lbs_j, ubs_j, xstarts,
             iterations=solver_iterations,
         )
         sig = jax.vmap(lambda xx: sg.posterior(state, xx).sigma)(xstarts)
         x_explore = xstarts[jnp.argmax(sig)]
-        ok = jnp.isfinite(res.value) & (res.value > 0)
+        ok = jnp.isfinite(res.value)
         return jnp.where(ok, res.x, x_explore), res.value
 
     return fallback

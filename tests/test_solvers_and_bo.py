@@ -47,6 +47,48 @@ def test_solver_handles_nan_starts():
     assert np.all(np.isfinite(np.asarray(res.x)))
 
 
+def test_logei_matches_log_of_ei_and_is_stable():
+    """LogEI == log(EI) wherever EI is representable; finite (with a
+    nonzero gradient) where f32-scale EI underflows; same solver argmax."""
+    st = make_state()
+    theta = jnp.asarray([0.0])
+    ei, logei = dr.EI(), dr.LogEI()
+
+    # agreement region: points near the data where EI is healthy
+    for xv in ([0.1, 0.2], [-0.5, 0.4], [1.0, -1.0]):
+        x = jnp.asarray(xv)
+        a = float(sg.acquisition(st, ei, x, theta))
+        la = float(sg.acquisition(st, logei, x, theta))
+        if a > 1e-250:
+            np.testing.assert_allclose(la, np.log(a), rtol=1e-10)
+
+    # deep-tail stability: z << 0 (far above the incumbent) — EI
+    # underflows to exactly 0 (log undefined) but LogEI stays finite
+    # with a finite, nonzero gradient for the solver to follow
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, size=(8, 1))
+    y = (1e4 * X[:, 0] ** 2)  # huge range -> enormous |z| off-minimum
+    st1 = sg.fit(K.matern52((0.5,)), X, y, capacity=8, noise=1e-6)
+    xfar = jnp.asarray([1.9])
+    # EI is numerically useless here (|EI| < 1e-100, and the clamped-z
+    # arithmetic can even make it slightly negative)
+    assert abs(float(sg.acquisition(st1, ei, xfar, theta))) < 1e-100
+    la, gla = sg.acquisition_grad(st1, logei, xfar, theta)
+    assert np.isfinite(float(la)) and float(la) < -100.0
+    assert np.all(np.isfinite(np.asarray(gla)))
+    assert float(jnp.abs(gla).max()) > 0.0
+
+    # same argmax basin as EI on a healthy surface
+    lbs, ubs = np.full(2, -2.0), np.full(2, 2.0)
+    starts = qmc.generate_initial_guesses(16, lbs, ubs)
+    r_ei = solvers.multistart_maximize(st, ei, theta, lbs, ubs, starts,
+                                       iterations=20)
+    r_log = solvers.multistart_maximize(st, logei, theta, lbs, ubs, starts,
+                                        iterations=20)
+    np.testing.assert_allclose(np.asarray(r_log.x), np.asarray(r_ei.x),
+                               atol=2e-3)
+
+
 def test_random_rule_uniform():
     st = make_state()
     res = solvers.multistart_maximize(
@@ -100,7 +142,9 @@ def test_exploration_fallback_finds_nonzero_ei_point():
     fb = bo._make_exploration_fallback(dr.EI(), theta, lbs_j, ubs_j,
                                        xstarts, 12)
     x, v = fb(st)
-    assert np.isfinite(float(v)) and float(v) > 0
+    # the fallback solves the LOG-EI surface (never flat); its value is
+    # log EI — finite means the solve found a usable (positive-EI) point
+    assert np.isfinite(float(v))
     assert 0.5 <= float(x[0]) <= 2.5
     # must not be a (near-)duplicate of an observed point
     assert float(np.min(np.abs(np.asarray(st.X[:10, 0]) - float(x[0])))) > 1e-3
