@@ -86,7 +86,16 @@ def main(argv=None):
         rule_fn, theta = ACQS[acq]
         rule = rule_fn()
         print(f"[{args.function_name}] acquisition={rule.name}")
-        for trial in range(args.trials):
+        # crash-resume: completed trials already hold a CSV row
+        # (create_csv keeps existing rows); skip them instead of
+        # recomputing AND re-appending duplicates that would bias the
+        # gap statistics
+        done_trials = 0
+        if args.checkpoint_every:
+            done_trials = len(log.read_rows(os.path.join(outdir, f"{acq}_gaps")))
+            if done_trials:
+                print(f"  resuming: {done_trials} completed trial(s) on disk")
+        for trial in range(done_trials, args.trials):
             t0 = time.time()
             ckpt_path = (os.path.join(outdir, f"ckpt_{acq}_{trial}")
                          if args.checkpoint_every else None)

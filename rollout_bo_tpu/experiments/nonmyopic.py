@@ -94,9 +94,18 @@ def main(argv=None):
         mesh = mesh_mod.make_mesh(jax.devices()[:ndev], restarts=ndev, mc=1)
 
     rng = np.random.default_rng(args.seed)
+    # crash-resume: skip trials that already hold a CSV row (create_csv
+    # keeps existing rows) instead of recomputing and appending duplicates
+    done_trials = 0
+    if args.checkpoint_every:
+        done_trials = len(log.read_rows(os.path.join(outdir, f"rollout_h{h}_gaps")))
+        if done_trials:
+            print(f"resuming: {done_trials} completed trial(s) on disk")
     for trial in range(args.trials):
         x_init = np.asarray(f.lbs) + (np.asarray(f.ubs) - np.asarray(f.lbs)) \
             * rng.uniform(size=(5, f.dim))
+        if trial < done_trials:
+            continue  # x_init drawn anyway to keep the rng stream aligned
         t0 = time.time()
         ckpt_path = (os.path.join(outdir, f"rollout_h{h}_trial{trial}_ckpt")
                      if args.checkpoint_every else None)

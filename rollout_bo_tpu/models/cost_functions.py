@@ -87,39 +87,57 @@ def GaussianProcessCost(state) -> CostFunction:
 
 @dataclasses.dataclass(frozen=True)
 class CostAwareRule(DecisionRule):
-    """A decision rule maximized per unit evaluation cost: alpha(x)/c(x).
+    """A decision rule maximized per unit evaluation cost.
+
+    Nonnegative rules (EI, POI) maximize alpha(x)/c(x); the log-scale
+    rule (LogEI) maximizes log alpha - log c — dividing a NEGATIVE log
+    value by the cost would invert the preference (expensive regions
+    would look better). Rules whose scale is signed and non-log (LCB)
+    have no well-defined per-unit-cost form and are rejected by
+    `cost_aware`.
 
     Keeps the base rule's `name` (so Random dispatch and MLE gating keep
-    working) and its (mu, sigma, theta) partials; the x-dependent 1/c(x)
-    weighting — value, gradient, and Hessian quotient-rule corrections —
-    is applied by models/surrogate.py::acquisition{,_grad,
-    _value_grad_hess}, which every solver (XLA Newton, IFT adjoint,
-    outer SGA) consumes. The Pallas hot kernel does not implement the
-    cost channel, so rollout/solvers.py routes cost-aware rules to the
-    XLA path.
+    working) and its (mu, sigma, theta) partials; the x-dependent cost
+    corrections — value, gradient, and Hessian — are applied by
+    models/surrogate.py::acquisition{,_grad,_value_grad_hess}, which
+    every solver (XLA Newton, IFT adjoint, outer SGA) consumes. The
+    Pallas hot kernel does not implement the cost channel, so
+    rollout/solvers.py routes cost-aware rules to the XLA path.
     """
 
     cost: CostFunction | None = None
 
 
+_COST_COMPOSABLE = {"EI": "divide", "POI": "divide", "Random": "divide",
+                    "LogEI": "subtract_log"}
+
+
 def cost_aware(rule: DecisionRule, cost: CostFunction) -> CostAwareRule:
-    """Wrap a rule so every solver maximizes alpha(x) / c(x)."""
+    """Wrap a rule so every solver maximizes it per unit evaluation cost."""
+    if getattr(rule, "cost", None) is not None:
+        raise ValueError("rule is already cost-aware; composing two cost "
+                         "weightings would divide by the cost twice")
+    if rule.name not in _COST_COMPOSABLE:
+        raise ValueError(
+            f"cost-aware form of rule {rule.name!r} is undefined (signed, "
+            "non-log scale); supported: " + ", ".join(sorted(_COST_COMPOSABLE)))
     return CostAwareRule(name=rule.name, sigma_tol=rule.sigma_tol, cost=cost)
 
 
 def cost_weighted_rule(rule, cost: CostFunction):
-    """Cost-aware acquisition: alpha(x) / c(x) (EI-per-unit-cost form).
+    """Cost-aware acquisition value function (legacy functional form).
 
-    The reference lists cost-aware acquisition as aspirational
-    (README.md:21-26); this composes any DecisionRule evaluation with a
-    cost model at the solver level. Returns a function
-    (state, x, theta) -> weighted acquisition value suitable for custom
-    solve loops.
+    Thin wrapper over `cost_aware` (single source of truth for the cost
+    composition and its floor): returns a function
+    (state, x, theta) -> per-unit-cost acquisition value suitable for
+    custom solve loops. Prefer `cost_aware(rule, cost)` directly — the
+    resulting rule plugs into every solver with exact grad/Hessian.
     """
     from rollout_bo_tpu.models import surrogate as sg
 
+    caw = cost_aware(rule, cost)
+
     def alpha_per_cost(state, x, theta):
-        a = sg.acquisition(state, rule, x, theta)
-        return a / jnp.maximum(cost(x), 1e-12)
+        return sg.acquisition(state, caw, x, theta)
 
     return alpha_per_cost

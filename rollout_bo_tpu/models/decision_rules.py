@@ -69,7 +69,6 @@ def _logei(mu, sigma, theta, fmini, sigma_tol):
 
     s = jnp.maximum(sigma, sigma_tol)
     z = (fmini - mu - theta[0]) / s
-    log_phi = -0.5 * z**2 - 0.5 * jnp.log(2.0 * jnp.pi)
     # z >= -1: direct (g(z) >= g(-1) ~ 0.083, no cancellation)
     zsafe = jnp.maximum(z, -1.0)
     g_direct = zsafe * norm.cdf(zsafe) + norm.pdf(zsafe)
@@ -80,9 +79,9 @@ def _logei(mu, sigma, theta, fmini, sigma_tol):
     zmills = zneg * jnp.exp(log_ndtr(zneg) - log_phi_neg)  # in (-1, 0)
     tail = log_phi_neg + jnp.log1p(jnp.maximum(zmills, -1.0 + 1e-15))
     log_g = jnp.where(z >= -1.0, direct, tail)
-    val = jnp.log(s) + log_g
-    floor = jnp.log(jnp.asarray(sigma_tol, s.dtype))
-    return jnp.where(sigma < sigma_tol, floor + log_g, val)
+    # sigma < sigma_tol needs no separate branch: s == sigma_tol there, so
+    # log(s) + log_g is already the floored value
+    return jnp.log(s) + log_g
 
 
 _RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random,

@@ -74,6 +74,16 @@ def refantasize(fs: fant.FantasyState) -> fant.FantasyState:
 
 
 def _quantities(st: sg.SurrogateState, rule: DecisionRule, x, theta):
+    if getattr(rule, "cost", None) is not None:
+        # this mirror of the reference's hand-assembled grad-alpha chain
+        # does not carry the CostAwareRule 1/c(x) channel; silently
+        # returning unweighted sensitivities would be inconsistent with
+        # surrogate.acquisition_grad. The autodiff IFT route
+        # (rollout/trajectory.py, via acquisition_value_grad_hess)
+        # supports cost-aware rules.
+        raise NotImplementedError(
+            "perturbation surrogates do not support cost-aware rules; "
+            "use the autodiff trajectory gradients instead")
     p = sg.posterior(st, x)
     fmini = sg.get_active_minimum(st)
     args = (p.mu, p.sigma, theta, fmini)

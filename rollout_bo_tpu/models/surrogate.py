@@ -294,30 +294,36 @@ _COST_FLOOR = 1e-12
 
 
 def _rule_cost(rule, x):
-    """(c, grad c, hess c) for a cost-aware rule, or None.
+    """(mode, c, grad c, hess c) for a cost-aware rule, or None.
 
     CostAwareRule (models/cost_functions.py) carries an x-dependent
-    evaluation-cost model; every solver maximizes alpha(x)/c(x).
+    evaluation-cost model. mode "divide" maximizes alpha(x)/c(x)
+    (nonnegative rules: EI/POI); mode "subtract_log" maximizes
+    alpha(x) - log c(x) (log-scale rules: LogEI) — dividing a negative
+    log value by the cost would invert the cost preference.
     """
     cost = getattr(rule, "cost", None)
     if cost is None:
         return None
+    mode = "subtract_log" if rule.name == "LogEI" else "divide"
     x = jnp.asarray(x)
     c = jnp.maximum(cost(x), _COST_FLOOR)
-    return c, cost.grad(x).astype(x.dtype), cost.hess(x).astype(x.dtype)
+    return mode, c, cost.grad(x).astype(x.dtype), cost.hess(x).astype(x.dtype)
 
 
 def acquisition(state: SurrogateState, rule: DecisionRule, x, theta):
     """alpha(x) = g(mu(x), sigma(x), theta, fmini) (reference sx.αxθ).
 
-    For a CostAwareRule the value is alpha(x)/c(x) (EI-per-unit-cost).
+    For a CostAwareRule: alpha/c (EI-per-unit-cost) or alpha - log c
+    (log-scale rules); see _rule_cost.
     """
     p = posterior(state, x)
     fmini = get_active_minimum(state)
     a = rule(p.mu, p.sigma, theta, fmini)
     cq = _rule_cost(rule, x)
     if cq is not None:
-        a = a / cq[0]
+        mode, c, _, _ = cq
+        a = a - jnp.log(c) if mode == "subtract_log" else a / c
     return a
 
 
@@ -330,9 +336,12 @@ def acquisition_grad(state: SurrogateState, rule: DecisionRule, x, theta):
     gsig = rule.dg_dsigma(p.mu, p.sigma, theta, fmini)
     grad = gmu * p.grad_mu + gsig * p.grad_sigma
     cq = _rule_cost(rule, x)
-    if cq is not None:  # quotient rule: (a/c)' = a'/c - a c'/c^2
-        c, gc, _ = cq
-        a, grad = a / c, grad / c - (a / c**2) * gc
+    if cq is not None:
+        mode, c, gc, _ = cq
+        if mode == "subtract_log":  # (a - log c)' = a' - c'/c
+            a, grad = a - jnp.log(c), grad - gc / c
+        else:  # quotient rule: (a/c)' = a'/c - a c'/c^2
+            a, grad = a / c, grad / c - (a / c**2) * gc
     return a, grad
 
 
@@ -363,14 +372,19 @@ def acquisition_value_grad_hess(state: SurrogateState, rule: DecisionRule, x, th
     )
     cq = _rule_cost(rule, x)
     if cq is not None:
-        # quotient rule for A = a/c:
-        # HA = Ha/c - (grad a grad c^T + grad c grad a^T)/c^2 - a Hc/c^2
-        #      + 2 a grad c grad c^T / c^3
-        c, gc, Hc = cq
-        xgc = jnp.outer(grad, gc)
-        hess = (hess / c - (xgc + xgc.T) / c**2 - (a / c**2) * Hc
-                + (2.0 * a / c**3) * jnp.outer(gc, gc))
-        a, grad = a / c, grad / c - (a / c**2) * gc
+        mode, c, gc, Hc = cq
+        if mode == "subtract_log":
+            # A = a - log c: HA = Ha - Hc/c + grad c grad c^T / c^2
+            hess = hess - Hc / c + jnp.outer(gc, gc) / c**2
+            a, grad = a - jnp.log(c), grad - gc / c
+        else:
+            # quotient rule for A = a/c:
+            # HA = Ha/c - (grad a grad c^T + grad c grad a^T)/c^2
+            #      - a Hc/c^2 + 2 a grad c grad c^T / c^3
+            xgc = jnp.outer(grad, gc)
+            hess = (hess / c - (xgc + xgc.T) / c**2 - (a / c**2) * Hc
+                    + (2.0 * a / c**3) * jnp.outer(gc, gc))
+            a, grad = a / c, grad / c - (a / c**2) * gc
     return a, grad, hess
 
 

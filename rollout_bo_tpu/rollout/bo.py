@@ -36,7 +36,11 @@ __all__ = [
 ]
 
 
-_PROGRAM_CACHE: dict = {}
+from collections import OrderedDict
+
+_PROGRAM_CACHE: OrderedDict = OrderedDict()
+_PROGRAM_CACHE_MAX = 64  # LRU bound: entries pin compiled executables and
+# the objects their closures capture (testfns, device buffers)
 
 
 def _cached_program(key, builder):
@@ -48,12 +52,18 @@ def _cached_program(key, builder):
     trial of a CLI sweep paid the full compile (~46 s at the myopic
     suite scale, measured in the per-iteration times CSV). The key must
     cover everything the traced closure captures: rule, bounds, shapes,
-    dtype, kernel kind, and solver hyperparameters.
+    dtype, kernel kind, and solver hyperparameters. LRU-bounded so a
+    long-lived process sweeping many configs cannot accumulate compiled
+    programs (and their captured device buffers) without limit.
     """
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
         fn = builder()
         _PROGRAM_CACHE[key] = fn
+        while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.popitem(last=False)
+    else:
+        _PROGRAM_CACHE.move_to_end(key)
     return fn
 
 
@@ -259,7 +269,15 @@ def _make_exploration_fallback(rule, theta, lbs_j, ubs_j, xstarts,
         )
         sig = jax.vmap(lambda xx: sg.posterior(state, xx).sigma)(xstarts)
         x_explore = xstarts[jnp.argmax(sig)]
-        ok = jnp.isfinite(res.value)
+        # LogEI is finite everywhere, so finiteness alone cannot gate the
+        # escape; also require the solve to land a genuinely NEW point —
+        # conditioning on a (near-)duplicate row is the ill-conditioned
+        # rank-1 update this fallback exists to prevent
+        scale = jnp.max(ubs_j - lbs_j)
+        d2 = jnp.sum((state.X - res.x[None, :]) ** 2, axis=1)
+        big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
+        dmin = jnp.sqrt(jnp.min(jnp.where(state.mask, d2, big)))
+        ok = jnp.isfinite(res.value) & (dmin > 1e-6 * scale)
         return jnp.where(ok, res.x, x_explore), res.value
 
     return fallback

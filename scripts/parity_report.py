@@ -87,8 +87,11 @@ def main(argv=None):
             if ours is None or ref is None:
                 continue
             z = z_distance(ours, ref)
+            flag = "" if z < 3.0 else "  <-- outside trial noise"
+            if z >= 3.0:
+                any_bad = True
             print(f"{fn:<16} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
 
     # -- §6.2 timing ladder: per-iteration rollout solve time vs horizon --
     print("\n== nonmyopic per-iteration solve seconds vs horizon "

@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
-# Regret-parity sweep: the reference's myopic suite (SURVEY/BASELINE §6.1 —
-# experiments/myopic/*/metadata.txt: budget 100, starts 64; we run 10 trials
-# vs the reference's 60 to bound wall clock) across all four acquisitions,
-# then the nonmyopic horizon ladder on gramacylee + ackley2d (§6.2 shapes).
+# Regret-parity sweep: the nonmyopic horizon ladder on gramacylee +
+# ackley2d (BASELINE §6.2 config) first, then the reference's myopic suite
+# (§6.1 — experiments/myopic/*/metadata.txt: budget 100, starts 64; we run
+# $TRIALS trials, default 5, vs the reference's 60 to bound wall clock).
 # Results land in results/ in the reference CSV schema; compare with
 # scripts/parity_report.py.
 set -u

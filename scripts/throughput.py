@@ -99,8 +99,9 @@ def main():
     }
 
     if args.virtual:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from rollout_bo_tpu.parallel import mesh as mesh_mod
-        from rollout_bo_tpu.parallel.sharded import sharded_simulate_mc
 
         # weak scaling: args.mc trajectories PER DEVICE
         per_dev = args.mc
@@ -111,15 +112,25 @@ def main():
             mesh = mesh_mod.make_mesh(jax.devices()[:n], restarts=1, mc=n)
             zN = jnp.asarray(
                 qmc.gen_low_discrepancy_sequence(per_dev * n, d, h + 1), dtype)
-            tpN = tp._replace(rnstream=zN)
-            eto = sharded_simulate_mc(state, tpN, rule, xstarts, mesh,
-                                      iterations=args.inner_iterations)
+            # place ONCE and build the jitted program ONCE per mesh — a
+            # fresh jit wrapper per timed rep would pay retrace/lowering
+            # inside the measurement and distort the scaling numbers
+            rn = jax.device_put(
+                zN, NamedSharding(mesh, P(("restarts", "mc"), None, None)))
+            tpN = tp._replace(rnstream=rn)
+            st = mesh_mod.replicate(state, mesh)
+            fn = jax.jit(
+                lambda s, t: mc_mod.simulate_trajectory_mc(
+                    s, t, rule, xstarts, with_gradients=True,
+                    iterations=args.inner_iterations),
+                out_shardings=NamedSharding(mesh, P()),
+            )
+            eto = fn(st, tpN)
             jax.block_until_ready(eto.mu)
             ts = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                eto = sharded_simulate_mc(state, tpN, rule, xstarts, mesh,
-                                          iterations=args.inner_iterations)
+                eto = fn(st, tpN)
                 jax.block_until_ready(eto.mu)
                 ts.append(time.perf_counter() - t0)
             dt_med = float(np.median(ts))

@@ -261,6 +261,32 @@ def test_cost_aware_rule_derivatives_and_rollout():
     # the Pallas hot path must reject cost-aware rules
     assert not solvers.pallas_enabled(state, rule)
 
+    # log-scale rule: cost enters as a SUBTRACTED log (dividing the
+    # negative log value would invert the cost preference), and the
+    # cheap point must beat the expensive one at equal base acquisition
+    from rollout_bo_tpu.models.decision_rules import LCB, LogEI
+
+    lrule = cf.cost_aware(LogEI(), cost)
+    la_base = sg.acquisition(state, LogEI(), x, theta)
+    la_cw = sg.acquisition(state, lrule, x, theta)
+    np.testing.assert_allclose(
+        float(la_cw), float(la_base) - float(jnp.log(cost(x))), rtol=1e-10)
+    lg_ad = jax.grad(lambda xv: sg.acquisition(state, lrule, xv, theta))(x)
+    _, lg, lH = sg.acquisition_value_grad_hess(state, lrule, x, theta)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(lg_ad),
+                               rtol=1e-8, atol=1e-12)
+    lH_ad = jax.hessian(lambda xv: sg.acquisition(state, lrule, xv, theta))(x)
+    np.testing.assert_allclose(np.asarray(lH), np.asarray(lH_ad),
+                               rtol=1e-7, atol=1e-10)
+
+    # signed non-log rules and double composition are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        cf.cost_aware(LCB(), cost)
+    with pytest.raises(ValueError):
+        cf.cost_aware(rule, cost)
+
     # inner multistart solve accepts it and lands where alpha/c is best
     xstarts = jnp.asarray(qmc.generate_initial_guesses(6, f.lbs, f.ubs), dt)
     res = solvers.multistart_maximize(
