@@ -60,6 +60,14 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="snapshot the trial every N iterations (0 = off); a "
                         "crashed run resumes from the last snapshot")
+    p.add_argument("--initial-observations", type=int, default=5,
+                   help="initial uniform samples per trial: 5 matches the "
+                        "reference nonmyopic driver "
+                        "(nonmyopic_bayesopt.jl:133); its ARCHIVED "
+                        "rollout_h* data was produced by the adaptive "
+                        "driver with ONE initial observation per trial "
+                        "(adaptive_bayesopt.jl:496) — pass 1 to compare "
+                        "against those CSVs")
     return p.parse_args(argv)
 
 
@@ -101,9 +109,10 @@ def main(argv=None):
         done_trials = len(log.read_rows(os.path.join(outdir, f"rollout_h{h}_gaps")))
         if done_trials:
             print(f"resuming: {done_trials} completed trial(s) on disk")
+    n_init = args.initial_observations
     for trial in range(args.trials):
         x_init = np.asarray(f.lbs) + (np.asarray(f.ubs) - np.asarray(f.lbs)) \
-            * rng.uniform(size=(5, f.dim))
+            * rng.uniform(size=(n_init, f.dim))
         if trial < done_trials:
             continue  # x_init drawn anyway to keep the rng stream aligned
         t0 = time.time()
@@ -111,7 +120,7 @@ def main(argv=None):
                      if args.checkpoint_every else None)
         res = bo.run_nonmyopic_bo(
             f, horizon=h, mc_iters=args.mc_samples, budget=args.budget,
-            num_starts=args.starts, num_restarts=args.batch_size,
+            n_init=n_init, num_starts=args.starts, num_restarts=args.batch_size,
             sgd_iters=args.sgd_iterations, seed=args.seed + trial,
             mle_every=1 if args.optimize else 10**9,
             use_low_discrepancy=args.variance_reduction,

@@ -13,7 +13,9 @@ TRIALS="${TRIALS:-5}"
 BUDGET="${BUDGET:-100}"
 
 # reference nonmyopic-shortrun-timing metadata.txt: budget 15, 30 trials,
-# 8 starts, 200 MC, batch 8, SGD 50, optimize, variance reduction
+# 8 starts, 200 MC, batch 8, SGD 50, optimize, variance reduction. The
+# archived data's trials start from ONE initial observation
+# (adaptive_bayesopt.jl:496), hence --initial-observations 1.
 NOUT=results/nonmyopic
 NTRIALS="${NTRIALS:-10}"
 for fn in gramacylee ackley2d; do
@@ -24,7 +26,7 @@ for fn in gramacylee ackley2d; do
       --trials "$NTRIALS" --budget 15 --horizon "$h" \
       --mc-samples 200 --starts 8 --batch-size 8 \
       --sgd-iterations 50 --optimize --variance-reduction \
-      --seed 1906 --dtype float32 \
+      --initial-observations 1 --seed 1906 --dtype float32 \
       || echo "nonmyopic $fn h=$h FAILED (continuing)"
   done
 done
