@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="snapshot the trial every N iterations (0 = off); "
                         "a crashed run resumes from the last snapshot")
+    p.add_argument("--steps-per-call", type=int, default=0,
+                   help="BO iterations fused per device dispatch "
+                        "(0 = whole budget as one program)")
     return p.parse_args(argv)
 
 
@@ -105,6 +108,7 @@ def main(argv=None):
                 x_init=initial_samples[trial],
                 checkpoint_path=ckpt_path,
                 checkpoint_every=args.checkpoint_every or 10,
+                steps_per_call=args.steps_per_call,
             )
             if ckpt_path and os.path.exists(ckpt_path + ".npz"):
                 os.remove(ckpt_path + ".npz")

@@ -97,11 +97,17 @@ def run_myopic_bo(
     x_init: np.ndarray | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 10,
+    steps_per_call: int = 0,
 ) -> MyopicBOResult:
     """One myopic BO trial (protocol of myopic_bayesopt.jl:94-263).
 
     5 uniform initial samples, Matern52 + per-iteration MLE in [0.1, 5],
     `num_starts` Sobol multistarts + 2 near-boundary points per solve.
+
+    `steps_per_call` BO iterations are fused into one device program
+    (`lax.scan` over full solve->observe->condition->MLE steps); 0 = auto
+    (whole budget, or the checkpoint cadence when checkpointing), 1 =
+    one dispatch per iteration.
 
     If `checkpoint_path` is given, the surrogate + metric arrays are
     snapshotted every `checkpoint_every` iterations and a crashed trial
@@ -129,43 +135,49 @@ def run_myopic_bo(
     _shape_key = (capacity, d, str(dt), kernel.kind,
                   tuple(np.asarray(lbs).tolist()), tuple(np.asarray(ubs).tolist()))
 
-    def _build_solve():
+    not_random = rule.name != "Random"
+
+    def _build_chunk(k):
         @jax.jit
-        def solve_step(state: sg.SurrogateState, key):
-            res = solvers.multistart_maximize(
-                state, rule, theta, lbs, ubs, xstarts,
-                iterations=solver_iterations, key=key,
-            )
-            return res.x
+        def trial_chunk(state: sg.SurrogateState, key, best, b0):
+            """k fused BO iterations as ONE device program.
 
-        return solve_step
-
-    def _build_observe():
-        @jax.jit
-        def observe_step(state: sg.SurrogateState, xnext, do_mle):
-            """Observe + condition + (masked) MLE in ONE dispatch.
-
-            The hyperparameter refit runs unconditionally and is selected
-            by `do_mle` (lax.cond would recompile per branch combination);
-            at these sizes the refit is a few microseconds of device time
-            while a separate dispatch costs a host<->device round-trip.
+            Each scan step is a full BO iteration: multistart acquisition
+            solve -> true-function evaluation -> rank-1 condition ->
+            (masked) hyperparameter MLE -> running-minimum update. The
+            MLE refit runs unconditionally and is selected by a traced
+            mask (lax.cond would recompile per branch combination); at
+            these sizes the refit is microseconds of device time while a
+            separate dispatch costs a host<->device round-trip. Fusing k
+            iterations per dispatch amortizes the per-dispatch tunnel
+            overhead that dominated the tiny myopic programs (measured
+            ~70 ms/iter at 2 dispatches/iter on the tunneled v5e vs the
+            reference's 15-25 ms; fused: see PERF.md).
             """
-            ynext = testfn.f(xnext)
-            st = sg.condition(state, xnext, ynext)
-            st_mle = sg.optimize_hypers(st, klbs, kubs)
-            st = jax.tree.map(
-                lambda a, b: jnp.where(do_mle, b, a), st, st_mle)
-            return st, ynext
+            def body(carry, i):
+                state, key, best = carry
+                key, sub = jax.random.split(key)
+                res = solvers.multistart_maximize(
+                    state, rule, theta, lbs, ubs, xstarts,
+                    iterations=solver_iterations, key=sub,
+                )
+                xnext = res.x
+                ynext = testfn.f(xnext)
+                st = sg.condition(state, xnext, ynext)
+                it = b0 + i + 1
+                do_mle = jnp.logical_and(it % mle_every == 0, not_random)
+                st_mle = sg.optimize_hypers(st, klbs, kubs)
+                state = jax.tree.map(
+                    lambda a, b: jnp.where(do_mle, b, a), st, st_mle)
+                gap_basis = best  # incumbent BEFORE this observation
+                best = jnp.minimum(best, ynext)
+                return (state, key, best), (xnext, ynext, gap_basis, best)
 
-        return observe_step
+            (state, key, best), outs = jax.lax.scan(
+                body, (state, key, best), jnp.arange(k, dtype=jnp.int32))
+            return state, key, best, outs
 
-    solve_step = _cached_program(
-        ("myopic_solve", rule, tuple(np.asarray(theta).tolist()),
-         num_starts, solver_iterations, _shape_key), _build_solve)
-    observe_step = _cached_program(
-        ("myopic_observe", id(testfn),
-         tuple(np.asarray(kernel_lbs).tolist()),
-         tuple(np.asarray(kernel_ubs).tolist()), _shape_key), _build_observe)
+        return trial_chunk
 
     true_minimum = testfn.fmin
     initial_best = float(y_init.min())
@@ -196,28 +208,51 @@ def run_myopic_bo(
             for _ in range(start_b):
                 key, _ = jax.random.split(key)
 
-    for b in range(start_b, budget):
-        key, sub = jax.random.split(key)
+    # Chunk size: fuse k BO iterations per device dispatch. Default is the
+    # whole remaining budget (one program per trial); with checkpointing,
+    # chunks align to the snapshot cadence so every checkpoint reflects a
+    # chunk boundary.
+    if steps_per_call <= 0:
+        k_default = checkpoint_every if checkpoint_path is not None else budget
+    else:
+        k_default = steps_per_call
+    k_default = max(1, min(k_default, budget))
+
+    best = jnp.asarray(min(y_all), dt)
+    b = start_b
+    while b < budget:
+        k = min(k_default, budget - b)
+        chunk = _cached_program(
+            ("myopic_chunk", k, rule, tuple(np.asarray(theta).tolist()),
+             num_starts, solver_iterations, mle_every, id(testfn),
+             tuple(np.asarray(kernel_lbs).tolist()),
+             tuple(np.asarray(kernel_ubs).tolist()), _shape_key),
+            lambda k=k: _build_chunk(k))
         t0 = time.perf_counter()
-        xnext = solve_step(state, sub)
-        xnext.block_until_ready()
-        times[b] = time.perf_counter() - t0
+        state, key, best, (xs, ys, gap_basis, mins) = chunk(
+            state, key, best, jnp.asarray(b, jnp.int32))
+        jax.block_until_ready(mins)
+        elapsed = time.perf_counter() - t0
 
-        best = min(y_all)
-        gaps[b] = metrics.gap(initial_best, best, true_minimum)
-        regrets[b] = metrics.simple_regret(true_minimum, best)
+        gb = np.asarray(gap_basis)
+        gaps[b:b + k] = [metrics.gap(initial_best, float(v), true_minimum)
+                         for v in gb]
+        regrets[b:b + k] = [metrics.simple_regret(true_minimum, float(v))
+                            for v in gb]
+        min_obs[b:b + k] = np.asarray(mins)
+        # per-iteration wall time is uniform within a fused chunk (the
+        # reference times the acquisition solve alone; a fused chunk also
+        # contains the observe+condition+MLE, a few percent of the step)
+        times[b:b + k] = elapsed / k
+        X_all.extend(np.asarray(xs))
+        y_all.extend(map(float, np.asarray(ys)))
+        b += k
 
-        do_mle = (b + 1) % mle_every == 0 and rule.name != "Random"
-        state, ynext = observe_step(state, xnext, jnp.asarray(do_mle))
-        X_all.append(np.asarray(xnext))
-        y_all.append(float(ynext))
-        min_obs[b] = min(y_all)
-
-        if checkpoint_path is not None and (b + 1) % checkpoint_every == 0:
+        if checkpoint_path is not None and b % checkpoint_every == 0:
             from rollout_bo_tpu.utils import checkpoint as ckpt
 
             ckpt.save_bo_checkpoint(
-                checkpoint_path, state, iteration=b + 1,
+                checkpoint_path, state, iteration=b,
                 metrics=dict(gaps=gaps, simple_regrets=regrets,
                              minimum_observations=min_obs, times=times,
                              X_all=np.stack(X_all), y_all=np.asarray(y_all)),

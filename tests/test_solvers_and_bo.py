@@ -110,6 +110,23 @@ def test_myopic_bo_improves_on_braninhoo():
     assert res.gaps[-1] > 0.3
 
 
+def test_myopic_bo_fused_chunks_match_per_step():
+    """The fused trial program (whole budget as one lax.scan dispatch)
+    must reproduce the per-iteration-dispatch loop exactly: same sampled
+    points, observations, and gap curve (steps_per_call=1 vs 0)."""
+    f = testfns.get_function("sixhump")
+    r1 = bo.run_myopic_bo(f, dr.EI(), budget=8, num_starts=8, seed=13,
+                          solver_iterations=10, steps_per_call=1)
+    bo._PROGRAM_CACHE.clear()
+    r2 = bo.run_myopic_bo(f, dr.EI(), budget=8, num_starts=8, seed=13,
+                          solver_iterations=10, steps_per_call=0)
+    np.testing.assert_allclose(r1.X, r2.X, rtol=0, atol=0)
+    np.testing.assert_allclose(r1.y, r2.y, rtol=0, atol=0)
+    np.testing.assert_allclose(r1.gaps, r2.gaps, rtol=0, atol=0)
+    np.testing.assert_allclose(r1.minimum_observations,
+                               r2.minimum_observations, rtol=0, atol=0)
+
+
 def test_myopic_bo_random_baseline_runs():
     f = testfns.get_function("sixhump")
     res = bo.run_myopic_bo(f, dr.RandomAcquisition(), budget=5, num_starts=4, seed=1)
