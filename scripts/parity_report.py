@@ -46,7 +46,13 @@ def z_distance(a, b):
     va = np.var(a, ddof=1) / len(a) if len(a) > 1 else 0.0
     vb = np.var(b, ddof=1) / len(b) if len(b) > 1 else 0.0
     denom = np.sqrt(va + vb)
-    return abs(a.mean() - b.mean()) / denom if denom > 0 else float("inf")
+    diff = abs(a.mean() - b.mean())
+    if denom == 0:
+        # both samples degenerate (zero variance): identical means are
+        # exact agreement, not an infinite z (e.g. griewank3d where every
+        # trial on both sides ends at gap 1.0)
+        return 0.0 if diff == 0 else float("inf")
+    return diff / denom
 
 
 def main(argv=None):
