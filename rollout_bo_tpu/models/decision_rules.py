@@ -18,8 +18,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.stats import norm
 
-__all__ = ["DecisionRule", "EI", "LogEI", "POI", "LCB", "RandomAcquisition",
-           "RULES"]
+__all__ = ["DecisionRule", "EI", "LogEI", "POI", "LogPOI", "LCB",
+           "RandomAcquisition", "RULES"]
 
 
 # |z| beyond this is saturated: cdf/pdf tails are < 1e-190, and the clamp
@@ -84,8 +84,28 @@ def _logei(mu, sigma, theta, fmini, sigma_tol):
     return jnp.log(s) + log_g
 
 
+def _logpoi(mu, sigma, theta, fmini, sigma_tol):
+    """Numerically stable log(POI) = log Phi(z); same argmax as POI.
+
+    POI's Phi(z) underflows to an EXACT f32 zero for z < -12 (and the
+    z-clamp flattens it beyond |z| = 30 in any dtype), stranding the
+    Newton solver on gradient-free plateaus — the reference never sees
+    this because its Julia POI runs in float64 where Phi keeps usable
+    tails to z ~ -37 (decision_rules.jl:101-115). log_ndtr is finite with
+    a well-scaled gradient (d/dz log Phi ~ |z|) everywhere. The
+    sigma < sigma_tol guard maps POI's hard 0 (its minimum) to a large
+    negative constant so already-observed points can never win the
+    argmax, matching the guard's intent.
+    """
+    from jax.scipy.special import log_ndtr
+
+    s = jnp.maximum(sigma, sigma_tol)
+    z = (fmini - mu - theta[0]) / s
+    return jnp.where(sigma < sigma_tol, -1e6, log_ndtr(z))
+
+
 _RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random,
-             "LogEI": _logei}
+             "LogEI": _logei, "LogPOI": _logpoi}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,6 +166,10 @@ def POI(sigma_tol: float = 1e-8) -> DecisionRule:
     return DecisionRule("POI", sigma_tol)
 
 
+def LogPOI(sigma_tol: float = 1e-8) -> DecisionRule:
+    return DecisionRule("LogPOI", sigma_tol)
+
+
 def LCB() -> DecisionRule:
     return DecisionRule("LCB")
 
@@ -154,5 +178,5 @@ def RandomAcquisition() -> DecisionRule:
     return DecisionRule("Random")
 
 
-RULES = {"EI": EI, "LogEI": LogEI, "POI": POI, "LCB": LCB,
-         "Random": RandomAcquisition}
+RULES = {"EI": EI, "LogEI": LogEI, "POI": POI, "LogPOI": LogPOI,
+         "LCB": LCB, "Random": RandomAcquisition}

@@ -305,7 +305,7 @@ def _rule_cost(rule, x):
     cost = getattr(rule, "cost", None)
     if cost is None:
         return None
-    mode = "subtract_log" if rule.name == "LogEI" else "divide"
+    mode = "subtract_log" if rule.name in ("LogEI", "LogPOI") else "divide"
     x = jnp.asarray(x)
     c = jnp.maximum(cost(x), _COST_FLOOR)
     return mode, c, cost.grad(x).astype(x.dtype), cost.hess(x).astype(x.dtype)

@@ -47,6 +47,43 @@ def test_solver_handles_nan_starts():
     assert np.all(np.isfinite(np.asarray(res.x)))
 
 
+def test_logpoi_matches_log_of_poi_and_is_stable():
+    """LogPOI == log(POI) wherever POI is representable (=> same argmax);
+    finite with a nonzero gradient where POI underflows/clamps flat."""
+    st = make_state()
+    theta = jnp.asarray([0.0])
+    poi, logpoi = dr.POI(), dr.LogPOI()
+
+    for xv in ([0.1, 0.2], [-0.5, 0.4], [1.0, -1.0]):
+        x = jnp.asarray(xv)
+        a = float(sg.acquisition(st, poi, x, theta))
+        la = float(sg.acquisition(st, logpoi, x, theta))
+        if a > 1e-250:
+            np.testing.assert_allclose(la, np.log(a), rtol=1e-8)
+
+    # deep-tail stability: POI's Phi(z) underflows (f32: z < -12) and its
+    # z-clamp flattens any dtype beyond |z|=30; log_ndtr keeps a finite
+    # value and a usable gradient (|d log Phi/dz| ~ |z|)
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-2, 2, size=(8, 1))
+    y = 1e4 * X[:, 0] ** 2
+    st1 = sg.fit(K.matern52((0.5,)), X, y, capacity=8, noise=1e-6)
+    xfar = jnp.asarray([1.9])
+    assert abs(float(sg.acquisition(st1, poi, xfar, theta))) < 1e-100
+    la, gla = sg.acquisition_grad(st1, logpoi, xfar, theta)
+    assert np.isfinite(float(la)) and float(la) < -100.0
+    assert np.all(np.isfinite(np.asarray(gla)))
+    assert float(jnp.abs(gla).max()) > 0.0
+
+    # argmax equivalence at solver level on a healthy surface: the LogPOI
+    # multistart winner and the POI multistart winner agree
+    lbs, ubs = np.full(2, -2.0), np.full(2, 2.0)
+    starts = qmc.generate_initial_guesses(16, lbs, ubs)
+    r1 = solvers.multistart_maximize(st, poi, theta, lbs, ubs, starts, iterations=20)
+    r2 = solvers.multistart_maximize(st, logpoi, theta, lbs, ubs, starts, iterations=20)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=5e-3)
+
+
 def test_logei_matches_log_of_ei_and_is_stable():
     """LogEI == log(EI) wherever EI is representable; finite (with a
     nonzero gradient) where f32-scale EI underflows; same solver argmax."""
