@@ -101,7 +101,14 @@ def _logpoi(mu, sigma, theta, fmini, sigma_tol):
 
     s = jnp.maximum(sigma, sigma_tol)
     z = (fmini - mu - theta[0]) / s
-    return jnp.where(sigma < sigma_tol, -1e6, log_ndtr(z))
+    # Clamp z below at -1e3 so the non-guard branch is bounded at
+    # log_ndtr(-1e3) ~ -5.0e5 > -1e6: without the clamp, huge-range
+    # surfaces (|f| ~ 1e5 with sigma near sigma_tol) push log_ndtr below
+    # the guard constant and an already-observed point could win the
+    # argmax — the opposite of the guard's intent. The clamp region is
+    # z < -1e3 where POI is transfinitely small anyway; the gradient
+    # there is zero, which the solver treats like any other plateau.
+    return jnp.where(sigma < sigma_tol, -1e6, log_ndtr(jnp.maximum(z, -1e3)))
 
 
 _RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random,

@@ -51,12 +51,26 @@ def solve_tr(g, H, delta, *, bisect_iters: int = 40):
     lo_f, hi_f = jax.lax.fori_loop(0, bisect_iters, body, (lo, hi))
     lam = 0.5 * (lo_f + hi_f)
     p_boundary = p_of(lam)
-    # hard case fallback: g orthogonal to the lowest eigvec and the
-    # boundary solve underflows — move along the lowest eigendirection
     nb = jnp.linalg.norm(p_boundary)
-    tau = jnp.sqrt(jnp.maximum(delta**2 - nb**2, 0.0))
-    p_hard = p_boundary + tau * jnp.sign(jnp.sum(V[:, 0])) * V[:, 0] * 0.0  # direction in V basis
-    p_boundary = jnp.where(nb < 1e-10 * delta, p_hard, p_boundary)
+    # Hard case (optim.jl:41-47): g is (numerically) orthogonal to the
+    # lowest eigendirection, so ||p(lam)|| stays below delta for every
+    # lam > -lam_min and the bisection collapses to lam ~ -lam_min without
+    # reaching the boundary. Gander/Golub/Von Matt: take the min-norm
+    # limit solution at lam* = -lam_min — a pseudo-inverse over the
+    # non-degenerate eigendirections (coordinates in the lam_min eigenspace
+    # are zeroed, like the reference we "punt" on multiplicity > 1 and use
+    # only the first) — then add tau along the e1 COORDINATE of the
+    # eigenbasis so that ||p|| = delta.
+    lam_star = -lam_min
+    denom = w + lam_star  # first entry == 0 by construction
+    scale = jnp.maximum(jnp.abs(w).max(), 1.0)
+    safe = jnp.where(jnp.abs(denom) > 1e-10 * scale, denom, jnp.inf)
+    p_min_norm = -(gt / safe)
+    tau = jnp.sqrt(jnp.maximum(delta**2 - jnp.sum(p_min_norm**2), 0.0))
+    e1 = jnp.zeros(d, dtype=g.dtype).at[0].set(1.0)
+    p_hard = p_min_norm + tau * e1
+    hard = nb < 0.99 * delta  # bisection failed to reach the boundary
+    p_boundary = jnp.where(hard, p_hard, p_boundary)
 
     p = jnp.where(interior_ok, p0, p_boundary)
     return V @ p, ~interior_ok

@@ -8,9 +8,19 @@ budget 100, starts 64 — experiments/myopic/*/metadata.txt), and prints a
 side-by-side table of mean final gap with the two-sample z distance.
 SURVEY §6 sets the target: reproduce gap curves within trial noise.
 
-Also reports the nonmyopic horizon ladder (results/nonmyopic/<fn>/
+Also reports: the nonmyopic horizon ladder (results/nonmyopic/<fn>/
 rollout_h<h>_gaps.csv vs the reference's archived
-nonmyopic-shortrun-timing data) where both sides have data.
+nonmyopic-shortrun-timing data), the h=4 column (vs
+data-for-various-horizons-backup, 50 MC / no variance reduction), the
+per-iteration timing ladders, the myopic per-function times, and the
+GHQ/deterministic-solve ladder where data exists.
+
+CSV-format note (both sides write a `trial,1..B` header + a -1 sentinel
+row): rows written by the reference's ADAPTIVE driver (all the archived
+nonmyopic data) carry a leading trial-number column
+(`hcat([trial_number times'])`, adaptive_bayesopt.jl:508-520) which must
+be dropped before averaging; its MYOPIC driver and ALL of this repo's
+CSVs write plain value rows with no index column.
 
 Run:  python scripts/parity_report.py [--ref /root/reference]
 """
@@ -24,21 +34,63 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Better-than-reference divergences with |z| >= 10 fail the gate unless
+# allowlisted here with a measured root cause (a favorable direction can
+# mask a gap-computation bug, so it is investigated, not auto-passed).
+# Root cause for all four rows (measured from the reference's own CSVs,
+# PARITY.md "reference-side collapse"): with a zero-mean prior and
+# unnormalized |y| ~ 20-70, the reference's EI/LCB surfaces saturate far
+# from data and its IPNewton freezes on the plateau / follows the
+# residual -grad(mu) tail to the domain corners — its min-observation
+# columns stop improving at iteration 1 (levy10d EI: 3% of trials ever
+# improve). This engine's log-space fallback keeps usable gradients on
+# those plateaus and optimizes the same acquisition successfully.
+BETTER_ALLOWLIST = {
+    ("ackley5d", "ei"), ("ackley5d", "lcb"),
+    ("levy10d", "ei"), ("levy10d", "lcb"),
+}
 
-def final_gaps(path):
-    """Final-column gap per completed trial; None if file absent/empty."""
+
+def load_rows(path, *, ref_archived=False):
+    """Numeric rows (sentinel dropped); ref_archived drops the leading
+    trial-number column of the reference's adaptive-driver CSVs."""
     if not os.path.exists(path):
         return None
     rows = list(csv.reader(open(path)))
-    vals = []
+    out = []
     for r in rows[1:]:
         try:
-            fr = [float(v) for v in r if v != ""]
+            v = [float(x) for x in r if x != ""]
         except ValueError:
             continue
-        if fr and fr[0] >= 0:  # skip the -1 sentinel row
-            vals.append(fr[-1])
-    return np.asarray(vals) if vals else None
+        if not v or v[0] < 0:  # -1 sentinel row
+            continue
+        if ref_archived:
+            v = v[1:]
+        if v:
+            out.append(v)
+    return out or None
+
+
+def final_gaps(path, *, ref_archived=False):
+    rows = load_rows(path, ref_archived=ref_archived)
+    if rows is None:
+        return None
+    return np.asarray([r[-1] for r in rows])
+
+
+def iter_times(path, *, ref_archived=False, drop_compile=False):
+    """Flat per-iteration times; drop_compile drops each trial's first
+    iteration (compile-dominated on the axon/TPU path)."""
+    rows = load_rows(path, ref_archived=ref_archived)
+    if rows is None:
+        return None
+    out = []
+    for v in rows:
+        if drop_compile:
+            v = v[1:]
+        out.extend(v)
+    return out or None
 
 
 def z_distance(a, b):
@@ -55,17 +107,24 @@ def z_distance(a, b):
     return diff / denom
 
 
-def gap_flag(ours, ref):
+def gap_flag(ours, ref, key=None):
     """(flag_text, counts_as_bad). Gap is higher-better: a mean gap ABOVE
     the reference outside trial noise means this engine outperforms the
-    reference's regret (e.g. the reference's levy10d EI/LCB runs collapse
-    to gap ~0 while ours find the optimum) — report it, but only a
-    *worse*-than-reference departure is a parity failure."""
+    reference's regret — reported, and only accepted without failing the
+    gate when |z| < 10 or the (function, acq) pair is in
+    BETTER_ALLOWLIST with a documented root cause."""
     z = z_distance(ours, ref)
     if z < 3.0:
         return "", False
+    if abs(ours.mean() - ref.mean()) < 0.01:
+        # materially identical means; z is inflated by a near-zero
+        # variance denominator (e.g. every trial on both sides at gap
+        # ~1.0) — agreement, not divergence
+        return "", False
     if ours.mean() > ref.mean():
-        return "  (better than reference)", False
+        if z < 10.0 or key in BETTER_ALLOWLIST:
+            return "  (better than reference)", False
+        return "  (better, |z|>=10, UNEXPLAINED — investigate)", True
     return "  <-- outside trial noise", True
 
 
@@ -73,11 +132,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ref", default="/root/reference")
     args = p.parse_args(argv)
+    any_bad = False
 
     print("== myopic final gap: ours (results/) vs reference (60 trials) ==")
     print(f"{'function':<16} {'acq':<7} {'ours':>7} {'n':>3} {'ref':>7} "
           f"{'n':>3} {'|z|':>6}")
-    any_bad = False
     for fn in ("sixhump", "braninhoo", "goldsteinprice", "griewank3d",
                "ackley5d", "hartmann6d", "levy10d"):
         for acq in ("ei", "poi", "lcb", "random"):
@@ -88,58 +147,115 @@ def main(argv=None):
             if ours is None or ref is None:
                 continue
             z = z_distance(ours, ref)
-            flag, bad = gap_flag(ours, ref)
+            flag, bad = gap_flag(ours, ref, (fn, acq))
             any_bad = any_bad or bad
             print(f"{fn:<16} {acq:<7} {ours.mean():>7.3f} {len(ours):>3} "
                   f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
 
-    print("\n== nonmyopic rollout final gap vs reference archived runs ==")
-    print(f"{'function':<16} {'h':>2} {'ours':>7} {'n':>3} {'ref':>7} {'n':>3} {'|z|':>6}")
+    # -- myopic per-iteration acquisition-solve times (§6.1 table) --
+    print("\n== myopic EI per-iteration solve seconds (ours = steady-state "
+          "median, first iteration of each trial dropped as compile; "
+          "ref = mean incl. its JIT first iterations, as BASELINE §6.1) ==")
+    print(f"{'function':<16} {'ours':>8} {'ref':>8} {'speedup':>9}")
+    for fn in ("sixhump", "braninhoo", "goldsteinprice", "griewank3d",
+               "ackley5d", "hartmann6d", "levy10d"):
+        ours_t = iter_times(os.path.join(REPO, "results/myopic", fn,
+                                         "ei_times.csv"), drop_compile=True)
+        ref_t = iter_times(os.path.join(args.ref, "experiments/myopic", fn,
+                                        "ei_times.csv"))
+        if ours_t is None or ref_t is None:
+            continue
+        om, rm = float(np.median(ours_t)), float(np.mean(ref_t))
+        print(f"{fn:<16} {om:>8.4f} {rm:>8.4f} {rm / om:>8.1f}x")
+
+    print("\n== nonmyopic rollout final gap vs reference archived runs "
+          "(protocol: 1 initial observation, budget 15, 200 MC, QMC) ==")
+    print(f"{'function':<18} {'h':>2} {'ours':>7} {'n':>3} {'ref':>7} {'n':>3} {'|z|':>6}")
     arch = os.path.join(args.ref,
                         "experiments/archived/nonmyopic-shortrun-timing/"
                         "nonmyopic_bayesopt")
-    for fn in ("gramacylee", "ackley2d", "trid10d"):
+    NONMYOPIC_FNS = ("gramacylee", "ackley2d", "styblinskitang4d",
+                     "schwefel10d", "trid10d", "styblinskitang10d")
+    for fn in NONMYOPIC_FNS:
         for h in range(4):
             ours = final_gaps(os.path.join(REPO, "results/nonmyopic", fn,
                                            f"rollout_h{h}_gaps.csv"))
-            ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"))
+            ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"),
+                             ref_archived=True)
             if ours is None or ref is None:
                 continue
             z = z_distance(ours, ref)
             flag, bad = gap_flag(ours, ref)
             any_bad = any_bad or bad
-            print(f"{fn:<16} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
+            print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+
+    # -- h=4 vs the data-for-various-horizons-backup archive (its
+    #    protocol: 50 MC samples, NO variance reduction, 1 initial obs) --
+    backup = os.path.join(args.ref,
+                          "experiments/archived/data-for-various-horizons-"
+                          "backup/nonmyopic_bayesopt")
+    header_done = False
+    for fn in ("gramacylee", "ackley4d"):
+        ours = final_gaps(os.path.join(REPO, "results/nonmyopic_h4", fn,
+                                       "rollout_h4_gaps.csv"))
+        ref = final_gaps(os.path.join(backup, fn, "rollout_h4_gaps.csv"),
+                         ref_archived=True)
+        if ours is None or ref is None:
+            continue
+        if not header_done:
+            print("\n== h=4 final gap vs data-for-various-horizons-backup "
+                  "(50 MC, no variance reduction) ==")
+            print(f"{'function':<18} {'h':>2} {'ours':>7} {'n':>3} "
+                  f"{'ref':>7} {'n':>3} {'|z|':>6}")
+            header_done = True
+        z = z_distance(ours, ref)
+        flag, bad = gap_flag(ours, ref)
+        any_bad = any_bad or bad
+        print(f"{fn:<18} {4:>2} {ours.mean():>7.3f} {len(ours):>3} "
+              f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+
+    # -- GHQ / deterministic-solve ladder (no reference regret data for
+    #    this mode; compared against the reference's stochastic archive) --
+    header_done = False
+    for fn in NONMYOPIC_FNS:
+        for h in range(4):
+            ours = final_gaps(os.path.join(REPO, "results/nonmyopic_ghq", fn,
+                                           f"rollout_h{h}_gaps.csv"))
+            ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"),
+                             ref_archived=True)
+            if ours is None or ref is None:
+                continue
+            if not header_done:
+                print("\n== GHQ/deterministic solve final gap (ours) vs "
+                      "reference STOCHASTIC archive ==")
+                print(f"{'function':<18} {'h':>2} {'ours':>7} {'n':>3} "
+                      f"{'ref':>7} {'n':>3} {'|z|':>6}")
+                header_done = True
+            z = z_distance(ours, ref)
+            flag, bad = gap_flag(ours, ref)
+            any_bad = any_bad or bad
+            print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
                   f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
 
     # -- §6.2 timing ladder: per-iteration rollout solve time vs horizon --
     print("\n== nonmyopic per-iteration solve seconds vs horizon "
           "(BASELINE §6.2 ladder; ours = steady-state median, first "
-          "iteration of each trial dropped as compile) ==")
-    print(f"{'function':<16} {'h':>2} {'ours':>8} {'ref':>8} {'speedup':>9}")
-    for fn in ("gramacylee", "ackley2d", "trid10d"):
+          "iteration of each trial dropped as compile; ref = mean incl. "
+          "its JIT first iterations) ==")
+    print(f"{'function':<18} {'h':>2} {'ours':>8} {'ref':>8} {'speedup':>9}")
+    for fn in NONMYOPIC_FNS:
         for h in range(4):
-            ours_p = os.path.join(REPO, "results/nonmyopic", fn,
-                                  f"rollout_h{h}_times.csv")
-            ref_p = os.path.join(arch, fn, f"rollout_h{h}_times.csv")
-            if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+            ours_t = iter_times(
+                os.path.join(REPO, "results/nonmyopic", fn,
+                             f"rollout_h{h}_times.csv"), drop_compile=True)
+            ref_t = iter_times(os.path.join(arch, fn, f"rollout_h{h}_times.csv"),
+                               ref_archived=True)
+            if ours_t is None or ref_t is None:
                 continue
-            rows = list(csv.reader(open(ours_p)))
-            per_iter = []
-            for r in rows[1:]:
-                v = np.asarray([float(x) for x in r if x != ""])
-                if v.size > 1 and v[0] >= 0:
-                    per_iter.extend(v[1:])  # drop compile-dominated iter 1
-            rrows = list(csv.reader(open(ref_p)))
-            ref_iter = []
-            for r in rrows[1:]:
-                v = np.asarray([float(x) for x in r if x != ""])
-                if v.size and v[0] >= 0:
-                    ref_iter.extend(v)
-            if not per_iter or not ref_iter:
-                continue
-            ours_med = float(np.median(per_iter))
-            ref_mean = float(np.mean(ref_iter))
-            print(f"{fn:<16} {h:>2} {ours_med:>8.3f} {ref_mean:>8.2f} "
+            ours_med = float(np.median(ours_t))
+            ref_mean = float(np.mean(ref_t))
+            print(f"{fn:<18} {h:>2} {ours_med:>8.3f} {ref_mean:>8.2f} "
                   f"{ref_mean / ours_med:>8.1f}x")
 
     # -- dimension-scaling ladder at h=3 (reference archived
@@ -156,33 +272,21 @@ def main(argv=None):
             # d=2 data comes from the shortrun ladder runs
             ours_p = os.path.join(REPO, "results/nonmyopic", fn,
                                   "rollout_h3_times.csv")
-        ref_p = os.path.join(dim_arch, fn, "rollout_h3_times.csv")
-        if not (os.path.exists(ours_p) and os.path.exists(ref_p)):
+        ours_t = iter_times(ours_p, drop_compile=True)
+        ref_t = iter_times(os.path.join(dim_arch, fn, "rollout_h3_times.csv"),
+                           ref_archived=True)
+        if ours_t is None or ref_t is None:
             continue
         if not header_done:
             print("\n== dimension scaling, h=3 per-iteration solve seconds "
                   "(reference archived dimensions-timing; ours = "
                   "steady-state median) ==")
-            print(f"{'function':<16} {'d':>3} {'ours':>8} {'ref':>8} "
+            print(f"{'function':<18} {'d':>3} {'ours':>8} {'ref':>8} "
                   f"{'speedup':>9}")
             header_done = True
-        rows = list(csv.reader(open(ours_p)))
-        per_iter = []
-        for r in rows[1:]:
-            v = np.asarray([float(x) for x in r if x != ""])
-            if v.size > 1 and v[0] >= 0:
-                per_iter.extend(v[1:])  # drop compile-dominated iter 1
-        rrows = list(csv.reader(open(ref_p)))
-        ref_iter = []
-        for r in rrows[1:]:
-            v = np.asarray([float(x) for x in r if x != ""])
-            if v.size and v[0] >= 0:
-                ref_iter.extend(v)
-        if not per_iter or not ref_iter:
-            continue
-        ours_med = float(np.median(per_iter))
-        ref_mean = float(np.mean(ref_iter))
-        print(f"{fn:<16} {d:>3} {ours_med:>8.3f} {ref_mean:>8.2f} "
+        ours_med = float(np.median(ours_t))
+        ref_mean = float(np.mean(ref_t))
+        print(f"{fn:<18} {d:>3} {ours_med:>8.3f} {ref_mean:>8.2f} "
               f"{ref_mean / ours_med:>8.1f}x")
 
     sys.exit(1 if any_bad else 0)

@@ -104,6 +104,28 @@ def test_solve_tr_interior_and_boundary():
     np.testing.assert_allclose(float(jnp.linalg.norm(p)), 0.5, rtol=1e-3)
 
 
+def test_solve_tr_hard_case():
+    # g orthogonal to the lowest eigendirection of an indefinite H: no
+    # Lagrange multiplier makes ||p(lam)|| = delta, so the GGvM hard-case
+    # step must add tau along the lowest eigendirection (optim.jl:41-47).
+    # H = diag(-2, 1), g = (0, 1), delta = 1: min-norm part is
+    # p2 = -1/(1 + 2) = -1/3, tau = sqrt(1 - 1/9), and the exact TR
+    # optimum value is -1/3 + (-2*(8/9) + 1/9)/2 = -7/6.
+    H = jnp.asarray(np.diag([-2.0, 1.0]))
+    g = jnp.asarray([0.0, 1.0])
+    delta = 1.0
+    p, hit = tr.solve_tr(g, H, delta)
+    assert bool(hit)
+    np.testing.assert_allclose(float(jnp.linalg.norm(p)), delta, rtol=1e-6)
+    val = float(g @ p + 0.5 * p @ H @ p)
+    np.testing.assert_allclose(val, -7.0 / 6.0, rtol=1e-6)
+    # brute-force check: nothing on a dense boundary sample beats it
+    ang = np.linspace(0, 2 * np.pi, 5001)
+    cand = np.stack([np.cos(ang), np.sin(ang)], axis=1) * delta
+    vals = cand @ np.asarray(g) + 0.5 * np.sum(cand * (cand @ np.asarray(H)), axis=1)
+    assert val <= vals.min() + 1e-6
+
+
 def test_tr_newton_minimizes_rosenbrock():
     def vgh(x):
         f = (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
