@@ -77,7 +77,17 @@ def _logei(mu, sigma, theta, fmini, sigma_tol):
     zneg = jnp.minimum(z, -1.0)
     log_phi_neg = -0.5 * zneg**2 - 0.5 * jnp.log(2.0 * jnp.pi)
     zmills = zneg * jnp.exp(log_ndtr(zneg) - log_phi_neg)  # in (-1, 0)
-    tail = log_phi_neg + jnp.log1p(jnp.maximum(zmills, -1.0 + 1e-15))
+    # dtype-aware floor: the old -1 + 1e-15 IS -1.0 in float32 (1e-15 is
+    # below f32 eps), so once z < ~-100 the rounded zmills hit the floor
+    # and log1p(-1) = -inf poisoned the whole fallback solve surface.
+    # With -1 + eps the tail caps at log(eps): the capped VALUE is off by
+    # a few units on a ~ -z^2/2 scale and the gradient keeps its dominant
+    # -z term (the frozen mills term contributes only ~2/|z|), so the
+    # f32 solve surface stays finite, smooth, and correctly oriented.
+    # (The Pallas kernel's LogEI tail is exact in this regime —
+    # ops/pallas_newton.py _mills_q.)
+    floor = -1.0 + jnp.finfo(jnp.asarray(z).dtype).eps
+    tail = log_phi_neg + jnp.log1p(jnp.maximum(zmills, floor))
     log_g = jnp.where(z >= -1.0, direct, tail)
     # sigma < sigma_tol needs no separate branch: s == sigma_tol there, so
     # log(s) + log_g is already the floored value
@@ -101,14 +111,19 @@ def _logpoi(mu, sigma, theta, fmini, sigma_tol):
 
     s = jnp.maximum(sigma, sigma_tol)
     z = (fmini - mu - theta[0]) / s
-    # Clamp z below at -1e3 so the non-guard branch is bounded at
-    # log_ndtr(-1e3) ~ -5.0e5 > -1e6: without the clamp, huge-range
-    # surfaces (|f| ~ 1e5 with sigma near sigma_tol) push log_ndtr below
-    # the guard constant and an already-observed point could win the
-    # argmax — the opposite of the guard's intent. The clamp region is
-    # z < -1e3 where POI is transfinitely small anyway; the gradient
-    # there is zero, which the solver treats like any other plateau.
-    return jnp.where(sigma < sigma_tol, -1e6, log_ndtr(jnp.maximum(z, -1e3)))
+    # Guard constant: must sit BELOW every achievable non-guard value, or
+    # an already-observed point (sigma < sigma_tol) could win the argmax —
+    # the opposite of the guard's intent. log_ndtr(z) ~ -z^2/2, and z is
+    # unbounded on huge-range surfaces (|f| ~ 1e5 with sigma near
+    # sigma_tol gives z ~ -1e13, log_ndtr ~ -5e25, far under any fixed
+    # -1e6-style constant), so the guard is a quarter of the dtype's most
+    # negative finite value: the ordering can only break if z^2 overflows
+    # the dtype (|z| > 1.3e19 in f32, 9e153 in f64 — beyond any
+    # representable surface), and the quarter leaves headroom for a
+    # downstream subtraction (cost-aware log composition) without
+    # overflowing to -inf.
+    guard = -0.25 * jnp.finfo(jnp.asarray(s).dtype).max
+    return jnp.where(sigma < sigma_tol, guard, log_ndtr(z))
 
 
 _RULE_FNS = {"EI": _ei, "POI": _poi, "LCB": _lcb, "Random": _random,
@@ -121,10 +136,24 @@ class DecisionRule:
 
     Mirrors the reference `DecisionRule` struct (decision_rules.jl:4-34);
     the 8 stored partial closures become `jax.grad` calls.
+
+    `solve_f_tol` / `solve_x_tol` request IPNewton-style LOOSE acceptance
+    from the inner Newton solver (reference rbf_optim.jl:26-30:
+    Optim.Options(x_tol=1e-3, f_tol=1e-3)): a start freezes once its
+    per-iteration relative value improvement or step norm drops below the
+    tolerance. 0.0 = run all fixed iterations (exact maximization). POI
+    defaults to the reference's 1e-3 because its regret behavior DEPENDS
+    on loose maximization: Phi(z) saturates to exactly 1.0 over a wide
+    plateau and IPNewton's sloppy stop is the implicit exploration that
+    makes POI work at all — exact plateau resolution finds the argmax an
+    epsilon-step from the incumbent and the BO loop crawls (measured on
+    hartmann6d; see PARITY.md "POI saturation").
     """
 
     name: str = "EI"
     sigma_tol: float = 1e-8
+    solve_f_tol: float = 0.0
+    solve_x_tol: float = 0.0
 
     # -- value ------------------------------------------------------------
     def __call__(self, mu, sigma, theta, fmini):
@@ -169,8 +198,9 @@ def LogEI(sigma_tol: float = 1e-8) -> DecisionRule:
     return DecisionRule("LogEI", sigma_tol)
 
 
-def POI(sigma_tol: float = 1e-8) -> DecisionRule:
-    return DecisionRule("POI", sigma_tol)
+def POI(sigma_tol: float = 1e-8, *, solve_f_tol: float = 1e-3,
+        solve_x_tol: float = 1e-3) -> DecisionRule:
+    return DecisionRule("POI", sigma_tol, solve_f_tol, solve_x_tol)
 
 
 def LogPOI(sigma_tol: float = 1e-8) -> DecisionRule:

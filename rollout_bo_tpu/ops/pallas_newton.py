@@ -57,7 +57,7 @@ _Z_CLAMP = 30.0               # must match decision_rules._Z_CLAMP
 _EPS = 1e-14                  # must match ops.kernels._EPS
 
 SUPPORTED_KINDS = ("matern52", "matern32", "matern12", "squared_exponential")
-SUPPORTED_RULES = ("EI", "POI", "LCB")
+SUPPORTED_RULES = ("EI", "POI", "LCB", "LogEI", "LogPOI")
 
 
 def supported(kind: str, rule_name: str) -> bool:
@@ -154,22 +154,127 @@ def _norm_pdf(z):
     return _INV_SQRT2PI * jnp.exp(-0.5 * z * z)
 
 
+# --------------------------------------------------------------------------
+# Log-space tail machinery for LogEI / LogPOI. The erf polynomial above
+# cancels catastrophically for z < -1 (cdf -> 0), so the tails are built
+# from two scalar Mills-ratio corrections in t = 1/|z|:
+#
+#   c(t) = log(|z| * Phi(z)/phi(z))        (-> 0 as z -> -inf)
+#   q(t) = log((1 - |z| * Phi/phi) / t^2)  (so log(1 + z*Mills) = 2 log t + q)
+#
+# Both are evaluated by a degree-12 Chebyshev-derived polynomial on
+# t in (0.1, 1] (max abs err ~3e-7 / 1.6e-6 in f32 Horner) and by the
+# divergent-but-accurate asymptotic series below t = 0.1 (err < 1e-6).
+# Fit script recorded in the round-4 build log; reference values from
+# scipy.special.log_ndtr in float64.
+# --------------------------------------------------------------------------
+
+_HALF_LOG_2PI = 0.9189385332046727
+
+_C_COEF = (
+    7.357126067616959e-05, -0.003030332555429463, -0.9460333971085013,
+    -0.5452875891075231, 5.917213284650515, -13.330680039626309,
+    16.136072259524276, -9.091448506887286, -3.269217078293205,
+    10.285783857545367, -8.302420084484648, 3.252465210828019,
+    -0.5255742944808028,
+)
+_Q_COEF = (
+    0.0003553685708074239, -0.015378764422016716, -2.7095052943101523,
+    -3.149139485836574, 31.99608533256913, -93.6622237838578,
+    170.23164452827305, -214.17068623084106, 190.2244261160476,
+    -117.22290850693899, 47.60922667911587, -11.413227140771019,
+    1.2151486419508726,
+)
+
+
+def _poly(t, coef):
+    acc = jnp.full_like(t, coef[-1])
+    for cf in coef[-2::-1]:
+        acc = acc * t + cf
+    return acc
+
+
+def _expm1s(x):
+    """exp(x) - 1 without a dedicated primitive: series for small |x|."""
+    small = jnp.abs(x) < 1e-4
+    xs = jnp.where(small, 0.0, x)
+    return jnp.where(small, x * (1.0 + 0.5 * x), jnp.exp(xs) - 1.0)
+
+
+def _log1ps(x):
+    """log(1 + x) without a dedicated primitive: series for small |x|.
+
+    f32 `log(1 + x)` loses ~half the digits of x below 1e-3 (1 + x rounds
+    at eps), which is exactly the regime the mills corrections live in —
+    the second-order tail partials are differences of these tiny numbers
+    and inherit the error amplified by 1/t^2.
+    """
+    small = jnp.abs(x) < 1e-3
+    xs = jnp.where(small, 0.0, x)
+    return jnp.where(small, x * (1.0 - 0.5 * x), jnp.log(1.0 + xs))
+
+
+def _mills_c(t):
+    t2 = t * t
+    series = _log1ps(t2 * (-1.0 + t2 * (3.0 + t2 * (-15.0 + t2 * 105.0))))
+    return jnp.where(t > 0.1, _poly(t, _C_COEF), series)
+
+
+def _mills_q(t):
+    t2 = t * t
+    series = _log1ps(t2 * (-3.0 + t2 * (15.0 + t2 * (-105.0 + t2 * 945.0))))
+    return jnp.where(t > 0.1, _poly(t, _Q_COEF), series)
+
+
+def _log_ndtr_neg(z):
+    """log Phi(z) for z <= -1 (asymptotic + Mills correction)."""
+    nz = jnp.maximum(-z, 1.0)
+    t = 1.0 / nz
+    return -0.5 * z * z - jnp.log(nz) - _HALF_LOG_2PI + _mills_c(t)
+
+
+def _inv_mills(z):
+    """r(z) = phi(z)/Phi(z) = d/dz log Phi, stable for all z."""
+    direct = _norm_pdf(z) / jnp.maximum(_norm_cdf(z), 1e-30)
+    nz = jnp.maximum(-z, 1.0)
+    tail = nz * jnp.exp(-_mills_c(1.0 / nz))
+    return jnp.where(z >= -1.0, direct, tail)
+
+
 def _rule_value(rule: str, mu, sigma, th, fmini, sigma_tol):
     if rule == "LCB":
         return th * sigma - mu
     s = jnp.maximum(sigma, sigma_tol)
     imp = fmini - mu - th
-    z = jnp.clip(imp / s, -_Z_CLAMP, _Z_CLAMP)
-    if rule == "EI":
-        val = imp * _norm_cdf(z) + s * _norm_pdf(z)
-    else:  # POI
-        val = _norm_cdf(z)
-    return jnp.where(sigma < sigma_tol, 0.0, val)
+    if rule in ("EI", "POI"):
+        z = jnp.clip(imp / s, -_Z_CLAMP, _Z_CLAMP)
+        if rule == "EI":
+            val = imp * _norm_cdf(z) + s * _norm_pdf(z)
+        else:  # POI
+            val = _norm_cdf(z)
+        return jnp.where(sigma < sigma_tol, 0.0, val)
+    z = imp / s  # log rules are unclamped (decision_rules.py)
+    if rule == "LogPOI":
+        direct = jnp.log(jnp.maximum(_norm_cdf(z), 1e-30))
+        val = jnp.where(z >= -1.0, direct, _log_ndtr_neg(z))
+        # guard below any representable candidate (decision_rules._logpoi)
+        return jnp.where(sigma < sigma_tol, -0.25 * 3.4028235e38, val)
+    # LogEI (decision_rules._logei): log s + log g(z), g = z Phi + phi
+    zs = jnp.maximum(z, -1.0)
+    g_direct = zs * _norm_cdf(zs) + _norm_pdf(zs)
+    direct = jnp.log(jnp.maximum(g_direct, 1.1754944e-38))
+    nz = jnp.maximum(-z, 1.0)
+    t = 1.0 / nz
+    log_phi = -0.5 * z * z - _HALF_LOG_2PI
+    tail = log_phi + 2.0 * jnp.log(t) + _mills_q(t)
+    return jnp.log(s) + jnp.where(z >= -1.0, direct, tail)
 
 
 def _rule_partials(rule: str, mu, sigma, th, fmini, sigma_tol):
     """(gmu, gsig, gmumu, gsigsig, gmusig) with the guard masks of
     jax.grad through models.decision_rules._ei/_poi/_lcb."""
+    if rule in ("LogEI", "LogPOI"):
+        return _log_rule_partials(rule, mu, sigma, th, fmini, sigma_tol)
     one = jnp.ones_like(mu)
     zero = jnp.zeros_like(mu)
     if rule == "LCB":
@@ -202,6 +307,61 @@ def _rule_partials(rule: str, mu, sigma, th, fmini, sigma_tol):
     guard = (sigma >= sigma_tol).astype(mu.dtype)
     return (gmu * guard, gsig * guard, gmumu * guard, gsigsig * guard,
             gmusig * guard)
+
+
+def _log_rule_partials(rule: str, mu, sigma, th, fmini, sigma_tol):
+    """(gmu, gsig, gmumu, gsigsig, gmusig) for LogEI / LogPOI.
+
+    Hand-derived chain rule through z = (fmini - mu - th)/s with
+    s = max(sigma, sigma_tol); s-chains die below sigma_tol (dsig mask),
+    matching jax.grad of decision_rules._logei/_logpoi. The large-|z|
+    cancellations (r' = -zr - r^2 and u' = w - u^2 are differences of
+    ~z^2 quantities) are factored through expm1 so every branch is
+    f32-stable at any z the rollout can produce.
+    """
+    s = jnp.maximum(sigma, sigma_tol)
+    dsig = (sigma > sigma_tol).astype(mu.dtype)
+    z = (fmini - mu - th) / s
+    s2 = s * s
+    if rule == "LogPOI":
+        r = _inv_mills(z)
+        # r' = -z r - r^2 = r * z * expm1(-c) in the tail (no cancellation)
+        nz = jnp.maximum(-z, 1.0)
+        c = _mills_c(1.0 / nz)
+        rp_tail = r * z * _expm1s(-c)
+        rp = jnp.where(z >= -1.0, -z * r - r * r, rp_tail)
+        gmu = -r / s
+        gsig = -z * r / s * dsig
+        gmumu = rp / s2
+        gsigsig = (2.0 * z * r + z * z * rp) / s2 * dsig * dsig
+        gmusig = (z * rp + r) / s2 * dsig
+        guard = (sigma >= sigma_tol).astype(mu.dtype)
+        return (gmu * guard, gsig * guard, gmumu * guard, gsigsig * guard,
+                gmusig * guard)
+    # LogEI: F = log s + log g, g = z Phi + phi, u = Phi/g, w = phi/g,
+    # u' = w - u^2. No sigma guard branch (the value is finite there and
+    # only the s-chains freeze).
+    zs = jnp.maximum(z, -1.0)
+    g_direct = jnp.maximum(zs * _norm_cdf(zs) + _norm_pdf(zs), 1e-30)
+    u_direct = _norm_cdf(zs) / g_direct
+    w_direct = _norm_pdf(zs) / g_direct
+    up_direct = w_direct - u_direct * u_direct
+    nz = jnp.maximum(-z, 1.0)
+    t = 1.0 / nz
+    c = _mills_c(t)
+    q = _mills_q(t)
+    inv_t2_emq = jnp.exp(-q) / (t * t)         # w in the tail
+    u_tail = jnp.exp(c - q) / t                # u = exp(c - q)/t
+    up_tail = -inv_t2_emq * _expm1s(2.0 * c - q)  # w - u^2, factored
+    direct = z >= -1.0
+    u = jnp.where(direct, u_direct, u_tail)
+    up = jnp.where(direct, up_direct, up_tail)
+    gmu = -u / s
+    gsig = (1.0 - z * u) / s * dsig
+    gmumu = up / s2
+    gsigsig = (2.0 * z * u + z * z * up - 1.0) / s2 * dsig * dsig
+    gmusig = (z * up + u) / s2 * dsig
+    return (gmu, gsig, gmumu, gsigsig, gmusig)
 
 
 # --------------------------------------------------------------------------

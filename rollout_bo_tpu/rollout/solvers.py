@@ -46,6 +46,10 @@ def pallas_enabled(state: sg.SurrogateState, rule: DecisionRule) -> bool:
         # cost-aware rules need the x-dependent 1/c(x) channel, which the
         # lane kernel does not implement — use the XLA solver path
         return False
+    if getattr(rule, "solve_f_tol", 0.0) or getattr(rule, "solve_x_tol", 0.0):
+        # loose (IPNewton-f_tol-style) acceptance is implemented only in
+        # the XLA solver; the lane kernel always runs its fixed iterations
+        return False
     if not pn.supported(state.kernel.kind, rule.name):
         return False
     if state.X.dtype != jnp.float32 or state.kernel.theta.shape != (1,):
@@ -132,6 +136,13 @@ def newton_solve_batch(
         return sg.acquisition(state, rule, x, theta)
 
     boundary_tol = 1e-9 * scale
+    # IPNewton-style loose acceptance (reference rbf_optim.jl:26-30,
+    # Optim.Options(x_tol=1e-3, f_tol=1e-3)): a start freezes once its
+    # relative value improvement or step norm drops below tolerance.
+    # Static python flag: 0.0 tolerances compile to the original loop.
+    f_tol = float(getattr(rule, "solve_f_tol", 0.0) or 0.0)
+    x_tol = float(getattr(rule, "solve_x_tol", 0.0) or 0.0)
+    loose = f_tol > 0.0 or x_tol > 0.0
 
     def one_iteration(x, _):
         a, g, H = sg.acquisition_value_grad_hess(state, rule, x, theta)
@@ -171,11 +182,29 @@ def newton_solve_batch(
         best = jnp.argmax(vals)
         improved = vals[best] > a0
         xn = jnp.where(improved, cands[best], x)
-        return xn, None
+        return xn, a0, vals[best]
+
+    if not loose:
+        def step(x, _):
+            xn, _, _ = one_iteration(x, None)
+            return xn, None
+    else:
+        def step(carry, _):
+            x, frozen = carry
+            xn_cand, a0, vbest = one_iteration(x, None)
+            improvement = jnp.maximum(vbest - a0, 0.0)
+            small_f = improvement <= f_tol * (jnp.abs(a0) + f_tol)
+            small_x = jnp.linalg.norm(xn_cand - x) <= x_tol
+            xn = jnp.where(frozen, x, xn_cand)
+            return (xn, frozen | small_f | small_x), None
 
     def solve_one(x0):
         x0 = jnp.clip(x0, lbs, ubs)
-        xf, _ = jax.lax.scan(one_iteration, x0, None, length=iterations)
+        if not loose:
+            xf, _ = jax.lax.scan(step, x0, None, length=iterations)
+        else:
+            (xf, _), _ = jax.lax.scan(
+                step, (x0, jnp.zeros((), bool)), None, length=iterations)
         vf = value(xf)
         return xf, jnp.where(jnp.isfinite(vf), vf, -jnp.inf)
 

@@ -60,7 +60,7 @@ def test_profile_terms_match_autodiff(kind):
     np.testing.assert_allclose(iso, dpsi_ref / rho, rtol=3e-5, atol=1e-7)
 
 
-@pytest.mark.parametrize("rule_name", ["EI", "POI"])
+@pytest.mark.parametrize("rule_name", ["EI", "POI", "LogEI", "LogPOI"])
 def test_rule_partials_match_autodiff(rule_name):
     rule = getattr(dr, rule_name)()
     mu = jnp.asarray([0.3, -1.2, 0.8], f32)
@@ -77,7 +77,70 @@ def test_rule_partials_match_autodiff(rule_name):
         jax.vmap(lambda m, s, f: rule.d2g_dmudsigma(m, s, thv, f))(mu, sigma, fmini),
     ]
     for g, w in zip(got, want):
-        np.testing.assert_allclose(g, w, rtol=5e-5, atol=1e-6)
+        # atol 1e-4: at saturated z the XLA side leaves ~1e-5 of rounding
+        # noise where the exact partial underflows (e.g. LogEI's
+        # dg_dsigma = phi/g ~ 1e-148 at z = 26 prints as 6e-5 there)
+        np.testing.assert_allclose(g, w, rtol=5e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("rule_name", ["LogEI", "LogPOI"])
+def test_log_rule_tails_match_float64_autodiff(rule_name):
+    """Deep-tail partials vs FLOAT64 autodiff truth + asymptotics.
+
+    The f32 XLA autodiff of the log rules loses the second-order partials
+    below z ~ -20 (log-difference cancellation in the mills chain) and the
+    old f32 LogEI tail even went -inf below z ~ -100. The kernel's
+    polynomial mills corrections (_mills_c/_mills_q + expm1/log1p-series
+    factoring) stay accurate, so the reference is the float64 rule —
+    itself only trustworthy for SECOND-order partials down to z ~ -150
+    (beyond that even f64 autodiff amplifies the 1 + z*mills cancellation
+    to O(1) garbage), so the extreme tail is pinned against the exact
+    asymptotics u', r' -> -1 instead."""
+    import jax.numpy as jnp_
+
+    rule64 = getattr(dr, rule_name)()
+    s = 0.5
+    mu = jnp.asarray([2.6, 10.0, 60.0], f32)       # z in [-5, -120]
+    sigma = jnp.full((3,), s, f32)
+    th = jnp.zeros((3,), f32)
+    fmini = jnp.full((3,), 0.1, f32)
+    got_v = pn._rule_value(rule_name, mu, sigma, th, fmini, 1e-8)
+    got = pn._rule_partials(rule_name, mu, sigma, th, fmini, 1e-8)
+    thv64 = jnp.zeros((1,), jnp_.float64)
+    as64 = lambda a: jnp_.asarray(np.asarray(a), jnp_.float64)
+    want_v = jax.vmap(lambda m, s_, f: rule64(m, s_, thv64, f))(
+        as64(mu), as64(sigma), as64(fmini))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=2e-5, atol=1e-4)
+    assert np.all(np.isfinite(np.asarray(got_v)))
+    fns = [rule64.dg_dmu, rule64.dg_dsigma, rule64.d2g_dmu,
+           rule64.d2g_dsigma, rule64.d2g_dmudsigma]
+    for g, fn in zip(got, fns):
+        w = jax.vmap(lambda m, s_, f: fn(m, s_, thv64, f))(
+            as64(mu), as64(sigma), as64(fmini))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=5e-3, atol=1e-6)
+
+    # extreme tail (z = -900, -6e4): exact asymptotics of the curvature
+    # chain — u'(z), r'(z) -> -1, so gmumu -> -1/s^2, gmusig -> 2|z|/s^2,
+    # and the value follows -z^2/2 + lower order
+    mu_x = jnp.asarray([450.0, 3e4], f32)
+    sig_x = jnp.full((2,), s, f32)
+    th_x = jnp.zeros((2,), f32)
+    fm_x = jnp.full((2,), 0.1, f32)
+    z_x = (np.asarray(fm_x) - np.asarray(mu_x)) / s
+    v_x = pn._rule_value(rule_name, mu_x, sig_x, th_x, fm_x, 1e-8)
+    gmu, gsig, gmumu, gsigsig, gmusig = pn._rule_partials(
+        rule_name, mu_x, sig_x, th_x, fm_x, 1e-8)
+    assert np.all(np.isfinite(np.asarray(v_x)))
+    np.testing.assert_allclose(np.asarray(v_x), -0.5 * z_x**2, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gmu), -np.abs(z_x) / s, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(gmumu), -1.0 / s**2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gmusig), 2.0 * np.abs(z_x) / s**2,
+                               rtol=2e-2)
+    # 2zu + z^2 u' -> -2z^2 - z^2 = -3z^2 (and likewise for r)
+    np.testing.assert_allclose(np.asarray(gsigsig), -3.0 * (z_x**2) / s**2,
+                               rtol=2e-2)
 
 
 @pytest.mark.parametrize("kind,rule_name", [
@@ -85,6 +148,8 @@ def test_rule_partials_match_autodiff(rule_name):
     ("squared_exponential", "EI"),
     ("matern52", "POI"),
     ("matern52", "LCB"),
+    ("matern52", "LogEI"),
+    ("matern52", "LogPOI"),
 ])
 def test_pallas_solve_matches_xla_solver(kind, rule_name):
     L, n, d, cap, S = 5, 7, 3, 12, 4
@@ -112,8 +177,15 @@ def test_pallas_solve_matches_xla_solver(kind, rule_name):
         # the kernel computes var = k0 - kx.(K^{-1} kx), the XLA path
         # k0 - ||Li kx||^2 — identical math, different cancellation)
         v_cross = float(sg.acquisition(st, rule, xs_p[i], theta))
+        # log-scale rules compare with an absolute tolerance in log space
+        # (2e-3 in log = 0.2% in probability space): the f32 posterior
+        # op-ordering noise between the kernel (k0 - kx.(K^{-1} kx)) and
+        # the XLA path (k0 - ||Li kx||^2) is amplified by the log where
+        # the variance nearly cancels close to data; assertion (b) below
+        # is the actual solution-quality gate
+        atol = 2e-3 if rule_name.startswith("Log") else 1e-6
         np.testing.assert_allclose(float(vs_p[i]), v_cross,
-                                   rtol=2e-3, atol=1e-6)
+                                   rtol=2e-3, atol=atol)
         # (b) solution quality is never worse than the XLA solver (tiny fp
         # differences may flip a backtracking accept into a better basin)
         assert v_cross >= vbest - 5e-4 * max(1.0, abs(vbest)) - 1e-6
