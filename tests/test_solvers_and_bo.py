@@ -39,6 +39,36 @@ def test_newton_solver_finds_stationary_point():
     assert float(res.value) >= float(jnp.max(vals)) - 1e-6
 
 
+def test_loose_acceptance_freezes_on_plateau():
+    """IPNewton-style loose stop (DecisionRule.solve_f_tol/x_tol,
+    reference rbf_optim.jl:26-30): on POI's saturated plateau a loose
+    start freezes at (or an epsilon from) its start point, while the
+    exact solver climbs to the sharp argmax — the difference that makes
+    POI's regret match the reference (PARITY.md "POI saturation")."""
+    st = make_state()
+    theta = jnp.asarray([0.0])
+    lbs, ubs = np.full(2, -2.0), np.full(2, 2.0)
+    starts = qmc.generate_initial_guesses(8, lbs, ubs)
+
+    # POI ships loose by default; EI stays exact
+    assert dr.POI().solve_f_tol == 1e-3 and dr.EI().solve_f_tol == 0.0
+
+    # pin the freeze mechanism with a COARSE tolerance on EI (5% relative
+    # improvement): the loose path must stop strictly earlier along the
+    # same ascent than the exact fixed-iteration solver, at slightly
+    # lower (never higher) values
+    coarse = dr.DecisionRule("EI", 1e-8, 0.05, 0.05)
+    xs_l, vs_l = solvers.newton_solve_batch(st, coarse, theta, lbs, ubs,
+                                            starts, iterations=20)
+    xs_e, vs_e = solvers.newton_solve_batch(st, dr.EI(), theta, lbs, ubs,
+                                            starts, iterations=20)
+    move_l = np.linalg.norm(np.asarray(xs_l) - np.asarray(starts), axis=1)
+    move_e = np.linalg.norm(np.asarray(xs_e) - np.asarray(starts), axis=1)
+    assert move_l.sum() < move_e.sum() - 1e-3
+    assert np.all(np.asarray(vs_l) <= np.asarray(vs_e) + 1e-12)
+    assert np.all(np.isfinite(np.asarray(xs_l)))
+
+
 def test_solver_handles_nan_starts():
     st = make_state()
     theta = jnp.asarray([0.0])
