@@ -46,12 +46,22 @@ def parse_args(argv=None):
     p.add_argument("--sgd-iterations", type=int, default=50)
     p.add_argument("--variance-reduction", action="store_true",
                    help="use low-discrepancy (QMC) trajectory streams")
+    p.add_argument("--log10-parity", action="store_true",
+                   help="reproduce the reference's Box-Muller log10 quirk "
+                        "(utils.jl:33-35) in the QMC streams — required for "
+                        "regret parity against its archived runs")
     p.add_argument("--deterministic-solve", action="store_true",
                    help="SAA/Gauss-Hermite solver instead of MC")
     p.add_argument("--ghq-nodes", type=int, default=8)
     p.add_argument("--schedule", default="alternating",
-                   choices=["alternating", "truncated"],
-                   help="horizon schedule (adaptive_bayesopt.jl:503-505)")
+                   choices=["alternating", "truncated", "fixed"],
+                   help="horizon schedule (adaptive_bayesopt.jl:503-505): "
+                        "alternating = 0/h (the live line :505), truncated = "
+                        "min(h, remaining budget) (the commented :503 — the "
+                        "truncated-horizons archive), fixed = h every "
+                        "iteration (the no-truncated-horizons archive)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip trials that already hold a CSV row")
     p.add_argument("--n-init", type=int, default=1,
                    help="initial samples per trial (reference uses 1)")
     p.add_argument("--dtype", default="float64", choices=["float32", "float64"])
@@ -84,10 +94,18 @@ def main(argv=None):
     for metric in ["gaps", "observations", "times", "allocations"]:
         log.create_csv(os.path.join(outdir, f"rollout_h{h}_{metric}"), args.budget)
 
-    schedule = (bo.alternating_horizon(h) if args.schedule == "alternating"
-                else bo.truncated_horizon(h))
+    schedule = {"alternating": bo.alternating_horizon,
+                "truncated": bo.truncated_horizon,
+                "fixed": bo.fixed_horizon}[args.schedule](h)
 
+    done_trials = 0
+    if args.resume:
+        done_trials = len(log.read_rows(os.path.join(outdir, f"rollout_h{h}_gaps")))
+        if done_trials:
+            print(f"resuming: {done_trials} completed trial(s) on disk")
     for trial in range(args.trials):
+        if trial < done_trials:
+            continue
         try:
             t0 = time.time()
             res = bo.run_adaptive_bo(
@@ -97,6 +115,7 @@ def main(argv=None):
                 seed=args.seed + trial, n_init=args.n_init,
                 mle_every=1 if args.optimize else 10**9,
                 use_low_discrepancy=args.variance_reduction,
+                log10_parity=args.log10_parity,
                 deterministic=args.deterministic_solve,
                 ghq_nodes=args.ghq_nodes, rule=dr.EI(),
             )

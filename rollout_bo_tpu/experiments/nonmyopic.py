@@ -44,6 +44,12 @@ def parse_args(argv=None):
     p.add_argument("--sgd-iterations", type=int, default=50)
     p.add_argument("--variance-reduction", action="store_true",
                    help="use low-discrepancy (QMC) trajectory streams")
+    p.add_argument("--log10-parity", action="store_true",
+                   help="reproduce the reference's Box-Muller log10 quirk "
+                        "(utils.jl:33-35): QMC fantasy draws get std "
+                        "log10(e)^0.5 ~ 0.659 instead of 1. The reference's "
+                        "archived variance-reduction runs all carry this "
+                        "quirk, so regret-parity runs should pass it")
     p.add_argument("--deterministic-solve", action="store_true",
                    help="SAA/Gauss-Hermite solver instead of MC "
                         "(reference utils.jl:267-306)")
@@ -89,6 +95,7 @@ def main(argv=None):
         mc_samples=args.mc_samples, batch_size=args.batch_size,
         sgd_iterations=args.sgd_iterations,
         should_reduce_variance=args.variance_reduction,
+        log10_parity=args.log10_parity,
     )
 
     h = args.horizon
@@ -124,6 +131,7 @@ def main(argv=None):
             sgd_iters=args.sgd_iterations, seed=args.seed + trial,
             mle_every=1 if args.optimize else 10**9,
             use_low_discrepancy=args.variance_reduction,
+            log10_parity=args.log10_parity,
             rule=dr.EI(), x_init=x_init, mesh=mesh,
             deterministic=args.deterministic_solve, ghq_nodes=args.ghq_nodes,
             outer_solver=args.outer_solver, steps_per_call=args.steps_per_call,

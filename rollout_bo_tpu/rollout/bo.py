@@ -32,6 +32,7 @@ __all__ = [
     "run_nonmyopic_bo",
     "run_adaptive_bo",
     "alternating_horizon",
+    "fixed_horizon",
     "truncated_horizon",
 ]
 
@@ -354,6 +355,7 @@ def run_nonmyopic_bo(
     mle_every: int = 1,
     solver_iterations: int = 12,
     use_low_discrepancy: bool = True,
+    log10_parity: bool = False,
     rule: DecisionRule | None = None,
     draw_mode: str = "reparam",
     dtype=None,
@@ -414,7 +416,13 @@ def run_nonmyopic_bo(
 
     def make_rnstream():
         if use_low_discrepancy:
-            z = qmc.gen_low_discrepancy_sequence(mc_iters, d, horizon + 1)
+            # log10_parity reproduces the reference's Box-Muller `log10`
+            # quirk (utils.jl:33-35): its archived variance-reduction runs
+            # fantasize with draws of std log10(e)^0.5 ~ 0.659, not N(0,1).
+            # Matching that understated fantasy noise is required for regret
+            # parity against those archives (small-d functions especially).
+            z = qmc.gen_low_discrepancy_sequence(
+                mc_iters, d, horizon + 1, log10_parity=log10_parity)
         else:
             z = rng.normal(size=(mc_iters, d + 1, horizon + 1))
         return jnp.asarray(z, dt)
@@ -430,7 +438,7 @@ def run_nonmyopic_bo(
     _acq_key = ("nm_acquire", rule, tuple(np.asarray(theta).tolist()),
                 horizon, mc_iters, num_starts, num_restarts, sgd_iters, lr,
                 solver_iterations, draw_mode, deterministic, ghq_nodes,
-                outer_solver, steps_per_call, _shape_key)
+                log10_parity, outer_solver, steps_per_call, _shape_key)
 
     def _build_acquire():
         if deterministic:
@@ -440,6 +448,7 @@ def run_nonmyopic_bo(
                     state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
                     horizon=horizon, num_nodes=ghq_nodes, max_iters=sgd_iters,
                     lr=lr, inner_iterations=solver_iterations,
+                    node_scale=_ghq_node_scale(log10_parity),
                 )
                 j = jnp.argmax(vals)
                 return xs[j], vals[j]
@@ -604,6 +613,26 @@ def alternating_horizon(max_horizon: int = 1):
     return schedule
 
 
+def _ghq_node_scale(log10_parity: bool) -> float:
+    """GHQ node multiplier under log10 parity: sqrt(log10(e)) ~ 0.659
+    integrates against the understated fantasy-noise distribution the
+    reference's Box-Muller log10 quirk (utils.jl:33-35) actually draws
+    from, so deterministic-solve runs are comparable with its stochastic
+    archives."""
+    return float(np.sqrt(np.log10(np.e))) if log10_parity else 1.0
+
+
+def fixed_horizon(max_horizon: int):
+    """Constant-horizon schedule — the reference's no-truncated-horizons
+    archive (metadata `Should Truncate Horizon: false`, fixed h each
+    iteration)."""
+
+    def schedule(b: int, budget: int) -> int:
+        return max_horizon
+
+    return schedule
+
+
 def truncated_horizon(max_horizon: int):
     """The reference's commented-out alternative (adaptive_bayesopt.jl:503):
     truncate the horizon as the remaining budget shrinks."""
@@ -646,6 +675,7 @@ def run_adaptive_bo(
     mle_every: int = 10**9,
     solver_iterations: int = 12,
     use_low_discrepancy: bool = True,
+    log10_parity: bool = False,
     deterministic: bool = False,
     ghq_nodes: int = 8,
     rule: DecisionRule | None = None,
@@ -693,7 +723,9 @@ def run_adaptive_bo(
 
     def make_rnstream(h):
         if use_low_discrepancy:
-            z = qmc.gen_low_discrepancy_sequence(mc_iters, d, h + 1)
+            # see run_nonmyopic_bo: reference Box-Muller log10 quirk parity
+            z = qmc.gen_low_discrepancy_sequence(
+                mc_iters, d, h + 1, log10_parity=log10_parity)
         else:
             z = rng.normal(size=(mc_iters, d + 1, h + 1))
         return jnp.asarray(z, dt)
@@ -711,7 +743,7 @@ def run_adaptive_bo(
         key = ("ad_acquire", rule, tuple(np.asarray(theta).tolist()), h,
                mc_iters, num_starts, num_restarts, sgd_iters, lr,
                solver_iterations, draw_mode, deterministic, ghq_nodes,
-               _shape_key)
+               log10_parity, _shape_key)
         fn = _cached_program(key, lambda: _build_acquire_for(h))
         acquire_cache[h] = fn
         return fn
@@ -724,6 +756,7 @@ def run_adaptive_bo(
                     state, theta, lbs_j, ubs_j, xstarts, restarts, rule,
                     horizon=h, num_nodes=ghq_nodes, max_iters=sgd_iters,
                     lr=lr, inner_iterations=solver_iterations,
+                    node_scale=_ghq_node_scale(log10_parity),
                 )
                 j = jnp.argmax(vals)
                 return xs[j], vals[j]

@@ -116,6 +116,7 @@ def simulate_trajectory_ghq(
     with_gradients: bool = True,
     iterations: int = 12,
     resolve_mode: str = "quadrature",
+    node_scale: float = 1.0,
 ) -> ExpectedTrajectoryOutput:
     """Gauss-Hermite (SAA / deterministic) rollout estimate.
 
@@ -128,11 +129,16 @@ def simulate_trajectory_ghq(
     - "reference": the reference's scheme (observables.jl:66-72 +
       mean over samples): only the best step's weight, normalized 1/sqrt(pi),
       then the *mean* over the index set.
+
+    node_scale: multiplies the quadrature nodes — `sqrt(log10(e)) ~ 0.659`
+    integrates against the understated fantasy-noise distribution the
+    reference's log10 Box-Muller quirk (utils.jl:33-35) draws from in its
+    STOCHASTIC runs, for parity comparisons against those archives.
     """
     nodes_np, weights_np = quadrature.gauss_hermite(num_nodes)
     idx = quadrature.tensor_product_indices(num_nodes, horizon + 1)  # (S, h+1)
     dt = state.X.dtype
-    nodes = jnp.asarray(nodes_np, dt)
+    nodes = jnp.asarray(nodes_np, dt) * jnp.asarray(node_scale, dt)
     weights = jnp.asarray(weights_np, dt)
     idx = jnp.asarray(idx)
     fs0 = fant.make_fantasy(state, horizon)

@@ -526,6 +526,7 @@ def deterministic_solve(
     lr: float = 0.01,
     grad_tol: float = 1e-4,
     inner_iterations: int = 12,
+    node_scale: float = 1.0,
 ):
     """SAA (Gauss-Hermite) ascent of the rollout acquisition from one start.
 
@@ -545,6 +546,7 @@ def deterministic_solve(
             state, x, theta, lbs, ubs, xstarts, rule,
             horizon=horizon, num_nodes=num_nodes,
             with_gradients=True, iterations=inner_iterations,
+            node_scale=node_scale,
         )
 
     def cond(carry):
@@ -582,6 +584,7 @@ def deterministic_solve_batch(
     lr: float = 0.01,
     grad_tol: float = 1e-4,
     inner_iterations: int = 12,
+    node_scale: float = 1.0,
 ):
     """vmap of deterministic_solve over a batch of outer restarts."""
 
@@ -590,6 +593,7 @@ def deterministic_solve_batch(
             state, s, theta, lbs, ubs, xstarts, rule,
             horizon=horizon, num_nodes=num_nodes, max_iters=max_iters,
             lr=lr, grad_tol=grad_tol, inner_iterations=inner_iterations,
+            node_scale=node_scale,
         )
         return x, eto.mu
 

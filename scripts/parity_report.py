@@ -134,20 +134,30 @@ def gap_flag(ours, ref, key=None):
     the reference outside trial noise means this engine outperforms the
     reference's regret — reported, and only accepted without failing the
     gate when |z| < 10 or the (function, acq) pair is in
-    BETTER_ALLOWLIST with a documented root cause."""
+    BETTER_ALLOWLIST with a documented root cause.
+
+    Gate threshold: |z| < 2 (two-sided ~95%), the round-3 bar."""
     z = z_distance(ours, ref)
-    if z < 3.0:
+    if z < 2.0:
         return "", False
     if abs(ours.mean() - ref.mean()) < 0.01:
         # materially identical means; z is inflated by a near-zero
         # variance denominator (e.g. every trial on both sides at gap
-        # ~1.0) — agreement, not divergence
-        return "", False
+        # ~1.0). VISIBLE auto-pass (advisor round-4): the table must say
+        # why a huge printed |z| does not fail the gate.
+        return "  (means within 0.01; z inflated by ~0 variance)", False
     if ours.mean() > ref.mean():
         if z < 10.0 or key in BETTER_ALLOWLIST:
             return "  (better than reference)", False
         return "  (better, |z|>=10, UNEXPLAINED — investigate)", True
     return "  <-- outside trial noise", True
+
+
+def z_text(z):
+    """Render |z| for the table; degenerate-variance infinities are
+    annotated by gap_flag, but the number itself should not print as a
+    bare 'inf'."""
+    return "  inf" if np.isinf(z) else f"{z:6.2f}"
 
 
 def main(argv=None):
@@ -172,7 +182,7 @@ def main(argv=None):
             flag, bad = gap_flag(ours, ref, (fn, acq))
             any_bad = any_bad or bad
             print(f"{fn:<16} {acq:<7} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
 
     # -- myopic per-iteration acquisition-solve times (§6.1 table) --
     print("\n== myopic EI per-iteration solve seconds (ours = steady-state "
@@ -212,7 +222,7 @@ def main(argv=None):
                 flag, bad = "  (ref censored: crashed trials excluded)", False
             any_bad = any_bad or bad
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
 
     # -- h=4 vs the data-for-various-horizons-backup archive (its
     #    protocol: 50 MC samples, NO variance reduction, 1 initial obs) --
@@ -237,7 +247,66 @@ def main(argv=None):
         flag, bad = gap_flag(ours, ref)
         any_bad = any_bad or bad
         print(f"{fn:<18} {4:>2} {ours.mean():>7.3f} {len(ours):>3} "
-              f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+              f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
+
+    # -- wide horizon ladder vs the data-for-various-horizons-backup
+    #    archive (its protocol: budget 15, 8 starts, 50 MC, batch 8,
+    #    50 SGD iterations, NO variance reduction, 1 initial observation;
+    #    the archive holds h=1..4, no h=0) --
+    header_done = False
+    for fn in ("braninhoo", "goldsteinprice", "hartmann3d", "rosenbrock",
+               "rastrigin4d", "mccormick", "levyn13", "easom", "holdertable",
+               "eggholder", "bukinn6", "sixhump"):
+        for h in range(1, 5):
+            ours = final_gaps(os.path.join(REPO, "results/nonmyopic_backup",
+                                           fn, f"rollout_h{h}_gaps.csv"))
+            ref = final_gaps(os.path.join(backup, fn, f"rollout_h{h}_gaps.csv"),
+                             ref_archived=True)
+            if ours is None or ref is None:
+                continue
+            if not header_done:
+                print("\n== wide horizon ladder final gap vs "
+                      "data-for-various-horizons-backup (50 MC, no variance "
+                      "reduction, 1 initial obs) ==")
+                print(f"{'function':<18} {'h':>2} {'ours':>7} {'n':>3} "
+                      f"{'ref':>7} {'n':>3} {'|z|':>6}")
+                header_done = True
+            z = z_distance(ours, ref)
+            flag, bad = gap_flag(ours, ref, (fn, f"bh{h}"))
+            any_bad = any_bad or bad
+            print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
+
+    # -- truncated-horizon schedules vs the truncated-horizons /
+    #    no-truncated-horizons archives (braninhoo, h=1, budget 20,
+    #    100 MC, QMC variance reduction, 30 trials) --
+    header_done = False
+    for label, ours_dir, arch_dir in (
+        ("truncated", "results/truncated",
+         "experiments/archived/truncated-horizons/nonmyopic_bayesopt"),
+        ("fixed (no-trunc)", "results/no_truncated",
+         "experiments/archived/no-truncated-horizons/nonmyopic_bayesopt"),
+    ):
+        for fn in ("braninhoo",):
+            ours = final_gaps(os.path.join(REPO, ours_dir, fn,
+                                           "rollout_h1_gaps.csv"))
+            ref = final_gaps(os.path.join(args.ref, arch_dir, fn,
+                                          "rollout_h1_gaps.csv"),
+                             ref_archived=True)
+            if ours is None or ref is None:
+                continue
+            if not header_done:
+                print("\n== truncated-horizon schedules (adaptive driver) "
+                      "final gap vs reference archives (h=1, budget 20, "
+                      "100 MC) ==")
+                print(f"{'schedule':<18} {'fn':>10} {'ours':>7} {'n':>3} "
+                      f"{'ref':>7} {'n':>3} {'|z|':>6}")
+                header_done = True
+            z = z_distance(ours, ref)
+            flag, bad = gap_flag(ours, ref, (fn, label))
+            any_bad = any_bad or bad
+            print(f"{label:<18} {fn:>10} {ours.mean():>7.3f} {len(ours):>3} "
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
 
     # -- GHQ / deterministic-solve ladder (no reference regret data for
     #    this mode; compared against the reference's stochastic archive) --
@@ -260,7 +329,7 @@ def main(argv=None):
             flag, bad = gap_flag(ours, ref)
             any_bad = any_bad or bad
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z:>6.2f}{flag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
 
     # -- §6.2 timing ladder: per-iteration rollout solve time vs horizon --
     print("\n== nonmyopic per-iteration solve seconds vs horizon "
