@@ -469,9 +469,11 @@ def _posterior_full(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
 
 def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
                  rule: str, sigma_tol: float, sigma_floor: float,
-                 ridge: float):
+                 ridge: float, f_tol: float, x_tol: float):
     ts = [0.5**k for k in range(_BACKTRACK_STEPS)]
     neg_inf = float("-inf")
+    loose = f_tol > 0.0 or x_tol > 0.0  # IPNewton-style loose acceptance
+    # (solvers.newton_solve_batch loose branch; reference rbf_optim.jl:26-30)
 
     def kernel(params_ref, xstarts_ref, bounds_ref,
                Xt_ref, W_ref, c_ref, fmini_ref, nn_ref, th_ref,
@@ -570,7 +572,25 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
                     best_v = jnp.where(upd, v, best_v)
                     best_x = jnp.where(upd[None, :], cand, best_x)
                     improved = improved | upd
-            return jnp.where(improved[None, :], best_x, x)
+            return jnp.where(improved[None, :], best_x, x), a0, best_v
+
+        def iter_body(_, x):
+            xn, _, _ = one_iteration(None, x)
+            return xn
+
+        def iter_body_loose(_, carry):
+            # lane freezes once its relative value improvement or step norm
+            # drops below tolerance (solvers.py loose branch). Frozen lanes
+            # keep recomputing the same point — lock-step SPMD, identical
+            # results to the per-lane early exit.
+            x, frozen = carry
+            xn_cand, a0, vbest = one_iteration(None, x)
+            improvement = jnp.maximum(vbest - a0, 0.0)
+            small_f = improvement <= f_tol * (jnp.abs(a0) + f_tol)
+            dx = xn_cand - x
+            small_x = jnp.sqrt(jnp.sum(dx * dx, axis=0)) <= x_tol
+            xn = jnp.where(frozen[None, :], x, xn_cand)
+            return xn, frozen | small_f | small_x
 
         def one_start(s_idx, carry):
             best_v, best_x = carry
@@ -579,7 +599,12 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
                          lbs[i], ubs[i])
                 for i in range(d)
             ])                                                     # (d, B)
-            xf = jax.lax.fori_loop(0, iterations, one_iteration, x0)
+            if loose:
+                xf, _ = jax.lax.fori_loop(
+                    0, iterations, iter_body_loose,
+                    (x0, jnp.zeros((B,), bool)))
+            else:
+                xf = jax.lax.fori_loop(0, iterations, iter_body, x0)
             vf = value(xf)
             vf = jnp.where(jnp.isfinite(vf), vf, neg_inf)
             upd = vf > best_v
@@ -599,7 +624,7 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
 @functools.partial(
     jax.jit,
     static_argnames=("kind", "rule", "iterations", "sigma_tol",
-                     "sigma_floor", "ridge", "interpret"),
+                     "sigma_floor", "ridge", "f_tol", "x_tol", "interpret"),
 )
 def newton_solve_lanes(
     X,            # (L, cap, d)
@@ -619,17 +644,23 @@ def newton_solve_lanes(
     sigma_tol: float = 1e-8,
     sigma_floor: float = 1e-10,
     ridge: float = 1e-8,
+    f_tol: float = 0.0,
+    x_tol: float = 0.0,
     interpret: bool = False,
 ):
     """Multistart Newton argmax per lane. Returns (xstar (L, d), v (L,)).
 
-    All compute in float32 (the TPU rollout dtype). `W` must be K^{-1} of
-    the active block with identity padding (padded rows/cols contribute
-    nothing because kx is masked).
+    Lane dtype follows `X.dtype` — float32 (the TPU rollout dtype) or
+    float64 (the POI/parity configuration; the erf/Mills polynomials are
+    f32-grade, ~1e-6 abs error, which the loose f_tol=1e-3 acceptance that
+    the f64 configs use renders immaterial). `W` must be K^{-1} of the
+    active block with identity padding (padded rows/cols contribute
+    nothing because kx is masked). `f_tol`/`x_tol` > 0 enable the
+    IPNewton-style loose per-lane freeze (solvers.newton_solve_batch).
     """
     L, cap, d = X.shape
     S = xstarts.shape[0]
-    f32 = jnp.float32
+    ldt = jnp.float64 if X.dtype == jnp.float64 else jnp.float32
     Lp = ((L + LANE_BLOCK - 1) // LANE_BLOCK) * LANE_BLOCK
 
     def pad(a, axis=0):
@@ -637,24 +668,24 @@ def newton_solve_lanes(
         widths[axis] = (0, Lp - L)
         return jnp.pad(a, widths)
 
-    Xt = pad(jnp.transpose(X.astype(f32), (2, 1, 0)), axis=2)       # (d, cap, Lp)
-    Wt = pad(jnp.transpose(W.astype(f32), (1, 2, 0)), axis=2)       # (cap, cap, Lp)
-    ct = pad(jnp.transpose(c.astype(f32), (1, 0)), axis=1)          # (cap, Lp)
-    fm = pad(fmini.astype(f32)[None, :], axis=1)                    # (1, Lp)
-    nn = pad(n.astype(f32)[None, :], axis=1)                        # (1, Lp)
-    th = pad(theta0.astype(f32)[None, :], axis=1)                   # (1, Lp)
+    Xt = pad(jnp.transpose(X.astype(ldt), (2, 1, 0)), axis=2)       # (d, cap, Lp)
+    Wt = pad(jnp.transpose(W.astype(ldt), (1, 2, 0)), axis=2)       # (cap, cap, Lp)
+    ct = pad(jnp.transpose(c.astype(ldt), (1, 0)), axis=1)          # (cap, Lp)
+    fm = pad(fmini.astype(ldt)[None, :], axis=1)                    # (1, Lp)
+    nn = pad(n.astype(ldt)[None, :], axis=1)                        # (1, Lp)
+    th = pad(theta0.astype(ldt)[None, :], axis=1)                   # (1, Lp)
 
-    lbs = jnp.asarray(lbs, f32)
-    ubs = jnp.asarray(ubs, f32)
+    lbs = jnp.asarray(lbs, ldt)
+    ubs = jnp.asarray(ubs, ldt)
     scale = jnp.max(ubs - lbs)
-    bounds = jnp.zeros((3, d), f32).at[0].set(lbs).at[1].set(ubs)
+    bounds = jnp.zeros((3, d), ldt).at[0].set(lbs).at[1].set(ubs)
     bounds = bounds.at[2, 0].set(scale)
-    k0 = _profile_terms(kind, jnp.zeros((), f32), jnp.zeros((), f32),
-                        jnp.asarray(ell, f32))[0]
-    params = jnp.stack([jnp.asarray(ell, f32), k0])[None, :]        # (1, 2)
+    k0 = _profile_terms(kind, jnp.zeros((), ldt), jnp.zeros((), ldt),
+                        jnp.asarray(ell, ldt))[0]
+    params = jnp.stack([jnp.asarray(ell, ldt), k0])[None, :]        # (1, 2)
 
     kernel = _make_kernel(d, cap, S, iterations, kind, rule,
-                          sigma_tol, sigma_floor, ridge)
+                          sigma_tol, sigma_floor, ridge, f_tol, x_tol)
     grid = (Lp // LANE_BLOCK,)
     B = LANE_BLOCK
 
@@ -681,11 +712,11 @@ def newton_solve_lanes(
             lane_spec(1, B),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d, Lp), f32),
-            jax.ShapeDtypeStruct((1, Lp), f32),
+            jax.ShapeDtypeStruct((d, Lp), ldt),
+            jax.ShapeDtypeStruct((1, Lp), ldt),
         ],
         interpret=interpret,
-    )(params, jnp.asarray(xstarts, f32), bounds, Xt, Wt, ct, fm, nn, th)
+    )(params, jnp.asarray(xstarts, ldt), bounds, Xt, Wt, ct, fm, nn, th)
 
     return jnp.transpose(xout, (1, 0))[:L], vout[0, :L]
 
@@ -717,20 +748,24 @@ def _broadcast_unbatched(axis_size, args, batched):
 
 
 @functools.lru_cache(maxsize=None)
-def get_solver(kind: str, rule: str, iterations: int, interpret: bool = False):
+def get_solver(kind: str, rule: str, iterations: int, interpret: bool = False,
+               f_tol: float = 0.0, x_tol: float = 0.0):
     """(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts) -> (xstar, v).
 
     Single-lane signature — X (cap, d), Li (cap, cap), c (cap,), scalars n
     / fmini / theta0 — composable under any nesting of jax.vmap. `Li` is
     the maintained explicit Cholesky inverse; K^{-1} = Li^T Li is formed
-    once per flattened call as a real batched MXU matmul.
+    once per flattened call as a real batched MXU matmul. `f_tol`/`x_tol`
+    enable the per-lane IPNewton-style loose freeze (DecisionRule
+    .solve_f_tol, reference rbf_optim.jl:26-30).
     """
 
     def flat_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts):
         W = jnp.einsum("lji,ljk->lik", Li, Li)
         return newton_solve_lanes(
             X, W, c, n, fmini, theta0, ell, lbs, ubs, xstarts,
-            kind=kind, rule=rule, iterations=iterations, interpret=interpret,
+            kind=kind, rule=rule, iterations=iterations,
+            f_tol=f_tol, x_tol=x_tol, interpret=interpret,
         )
 
     solve_flat = jax.custom_batching.custom_vmap(flat_impl)

@@ -97,6 +97,12 @@ def main(argv=None):
           flush=True)
 
     # restarts axis across the 2 process groups, mc axis within
+    if ndev < 2 or ndev % 2 != 0:
+        raise SystemExit(
+            f"multihost_worker needs an even global device count >= 2 to "
+            f"build its (restarts=2, mc={max(ndev // 2, 1)}) mesh; got "
+            f"{ndev}. On CPU, raise the virtual device count with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=<N>.")
     mesh = mesh_mod.make_mesh(restarts=2, mc=ndev // 2)
     st, tp, xstarts, starts = build_problem()
     rule = dr.EI()

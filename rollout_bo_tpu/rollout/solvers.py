@@ -46,16 +46,21 @@ def pallas_enabled(state: sg.SurrogateState, rule: DecisionRule) -> bool:
         # cost-aware rules need the x-dependent 1/c(x) channel, which the
         # lane kernel does not implement — use the XLA solver path
         return False
-    if getattr(rule, "solve_f_tol", 0.0) or getattr(rule, "solve_x_tol", 0.0):
-        # loose (IPNewton-f_tol-style) acceptance is implemented only in
-        # the XLA solver; the lane kernel always runs its fixed iterations
-        return False
     if not pn.supported(state.kernel.kind, rule.name):
         return False
-    if state.X.dtype != jnp.float32 or state.kernel.theta.shape != (1,):
+    if state.X.dtype not in (jnp.float32, jnp.float64):
+        return False
+    if state.kernel.theta.shape != (1,):
         return False
     if _PALLAS_MODE in ("1", "interpret"):
         return True
+    if state.X.dtype == jnp.float64:
+        # f64 lanes are implemented and interpret-verified
+        # (tests/test_pallas_newton.py); on a real chip they are opt-in
+        # via mode "1" until Mosaic f64 lowering is validated there (the
+        # TPU VPU has no native f64 ALU, so auto-routing f64 states to the
+        # kernel risks a compile failure mid-experiment).
+        return False
     return jax.default_backend() not in ("cpu",)
 
 
@@ -274,6 +279,8 @@ def maximize_hot(
         solve_one = pn.get_solver(
             state.kernel.kind, rule.name, iterations,
             interpret=_PALLAS_MODE == "interpret",
+            f_tol=float(getattr(rule, "solve_f_tol", 0.0) or 0.0),
+            x_tol=float(getattr(rule, "solve_x_tol", 0.0) or 0.0),
         )
         dt = state.X.dtype
         return solve_one(

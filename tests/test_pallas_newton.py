@@ -322,3 +322,123 @@ def test_rollout_grad_with_pallas_interpret():
     np.testing.assert_allclose(np.asarray(eto_x.grad_x),
                                np.asarray(eto_p.grad_x),
                                rtol=2e-2, atol=2e-4)
+
+
+f64 = jnp.float64
+
+
+def _random_states_f64(L, n, d, cap, kind, seed=0, ell=0.8):
+    rng = np.random.default_rng(seed)
+    kern = K.RBFKernel(theta=jnp.asarray([ell], f64), kind=kind)
+    states = []
+    for _ in range(L):
+        X = rng.uniform(-1.0, 1.0, (n, d))
+        y = np.sin(2.0 * X.sum(axis=1)) + 0.2 * rng.standard_normal(n)
+        states.append(sg.fit(kern, X, y, capacity=cap, noise=1e-5, dtype=f64))
+    return states
+
+
+def test_pallas_f64_loose_poi_matches_xla():
+    """f64 lanes + IPNewton-loose freeze: the POI-parity configuration
+    (dtype float64, solve_f_tol = solve_x_tol = 1e-3, rbf_optim.jl:26-30)
+    runs on the kernel and agrees with the XLA loose solver."""
+    kind = "matern52"
+    L, n, d, cap, S = 4, 7, 3, 12, 4
+    states = _random_states_f64(L, n, d, cap, kind, seed=5)
+    X, W, c, nn, fmini = _pack(states)
+    assert X.dtype == f64
+    lbs, ubs = np.full(d, -1.0), np.full(d, 1.0)
+    xstarts = qmc.generate_initial_guesses(S - 2, lbs, ubs)
+    rule = dr.POI()  # solve_f_tol = solve_x_tol = 1e-3 by default
+    theta = jnp.zeros((1,), f64)
+    iters = 8
+
+    xs_p, vs_p = pn.newton_solve_lanes(
+        X, W, c, nn, fmini, jnp.zeros((L,), f64),
+        states[0].kernel.theta[0], lbs, ubs, xstarts,
+        kind=kind, rule="POI", iterations=iters,
+        f_tol=rule.solve_f_tol, x_tol=rule.solve_x_tol, interpret=True,
+    )
+    assert xs_p.dtype == f64
+
+    for i, st in enumerate(states):
+        xs, vals = solvers.newton_solve_batch(
+            st, rule, theta, lbs, ubs, xstarts, iterations=iters)
+        vbest = float(jnp.max(vals))
+        v_cross = float(sg.acquisition(st, rule, xs_p[i], theta))
+        # both sides run the identical loose-freeze algorithm; in f64 the
+        # op-ordering noise (K^{-1} vs Li variance form) is ~1e-12, far
+        # below any freeze threshold, so the frozen solutions coincide
+        np.testing.assert_allclose(float(vs_p[i]), v_cross,
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(v_cross, vbest, rtol=1e-6, atol=1e-9)
+
+
+def test_pallas_loose_freeze_f32_matches_xla():
+    """f32 loose-acceptance lanes vs the XLA loose branch (EI with the
+    IPNewton tolerances forced)."""
+    kind = "matern52"
+    L, n, d, cap, S = 4, 6, 2, 10, 4
+    states = _random_states(L, n, d, cap, kind, seed=13)
+    X, W, c, nn, fmini = _pack(states)
+    lbs, ubs = np.full(d, -1.0), np.full(d, 1.0)
+    xstarts = qmc.generate_initial_guesses(S - 2, lbs, ubs).astype(np.float32)
+    rule = dr.DecisionRule("EI", 1e-8, 1e-3, 1e-3)
+    theta = jnp.zeros((1,), f32)
+
+    xs_p, vs_p = pn.newton_solve_lanes(
+        X, W, c, nn, fmini, jnp.zeros((L,), f32),
+        states[0].kernel.theta[0], lbs, ubs, xstarts,
+        kind=kind, rule="EI", iterations=8,
+        f_tol=rule.solve_f_tol, x_tol=rule.solve_x_tol, interpret=True,
+    )
+    for i, st in enumerate(states):
+        xs, vals = solvers.newton_solve_batch(
+            st, rule, theta, lbs, ubs, xstarts, iterations=8)
+        vbest = float(jnp.max(vals))
+        v_cross = float(sg.acquisition(st, rule, xs_p[i], theta))
+        np.testing.assert_allclose(float(vs_p[i]), v_cross,
+                                   rtol=2e-3, atol=1e-6)
+        # loose acceptance freezes both sides at the same iteration up to
+        # f32 threshold noise; the kernel may not end strictly better, but
+        # must be within the acceptance tolerance of the XLA winner
+        assert v_cross >= vbest - rule.solve_f_tol * (abs(vbest) + 1.0)
+
+
+def test_pallas_enabled_for_f64_loose_poi_when_forced():
+    """The f64 + solve_f_tol POI configuration routes to the kernel when
+    the mode is forced (interpret/CPU here; mode "1" on a chip)."""
+    states = _random_states_f64(1, 5, 2, 8, "matern52", seed=1)
+    old = solvers._PALLAS_MODE
+    try:
+        solvers._PALLAS_MODE = "interpret"
+        assert solvers.pallas_enabled(states[0], dr.POI())
+        solvers._PALLAS_MODE = "auto"
+        # auto on CPU still prefers the XLA path
+        assert not solvers.pallas_enabled(states[0], dr.POI())
+    finally:
+        solvers._PALLAS_MODE = old
+
+
+def test_maximize_hot_pallas_f64_loose_route():
+    """maximize_hot through the kernel (interpret) == XLA route for the
+    f64 loose-POI configuration."""
+    states = _random_states_f64(1, 6, 2, 9, "matern52", seed=8)
+    st = states[0]
+    lbs, ubs = np.full(2, -1.0), np.full(2, 1.0)
+    xstarts = jnp.asarray(qmc.generate_initial_guesses(3, lbs, ubs), f64)
+    rule = dr.POI()
+    theta = jnp.zeros((1,), f64)
+    old = solvers._PALLAS_MODE
+    try:
+        solvers._PALLAS_MODE = "0"
+        x_x, v_x = solvers.maximize_hot(
+            st, rule, theta, lbs, ubs, xstarts, iterations=8)
+        solvers._PALLAS_MODE = "interpret"
+        x_p, v_p = solvers.maximize_hot(
+            st, rule, theta, lbs, ubs, xstarts, iterations=8)
+    finally:
+        solvers._PALLAS_MODE = old
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               rtol=1e-5, atol=1e-7)
