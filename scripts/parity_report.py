@@ -331,6 +331,34 @@ def main(argv=None):
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
                   f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
 
+    # -- GHQ (SAA/deterministic) vs stochastic cost profile: the
+    #    reference never recorded SAA timings (utils.jl:267-306); this
+    #    engine's GHQ ladder runs on the same chip as the stochastic one,
+    #    so the two columns are directly comparable. GHQ evaluates
+    #    ghq_nodes^(h+1) tensor-product trajectories per gradient (vs
+    #    mc_samples stochastic), which is why its cost grows with h --
+    header_done = False
+    for fn in NONMYOPIC_FNS:
+        for h in range(4):
+            ghq_t = iter_times(
+                os.path.join(REPO, "results/nonmyopic_ghq", fn,
+                             f"rollout_h{h}_times.csv"), drop_compile=True)
+            sto_t = iter_times(
+                os.path.join(REPO, "results/nonmyopic", fn,
+                             f"rollout_h{h}_times.csv"), drop_compile=True)
+            if ghq_t is None or sto_t is None:
+                continue
+            if not header_done:
+                print("\n== GHQ/deterministic vs stochastic per-iteration "
+                      "solve seconds (both ours, same chip; 8^(h+1) "
+                      "quadrature trajectories vs 200 MC) ==")
+                print(f"{'function':<18} {'h':>2} {'ghq':>8} {'stoch':>8} "
+                      f"{'ratio':>7}")
+                header_done = True
+            gm = float(np.median(ghq_t))
+            sm = float(np.median(sto_t))
+            print(f"{fn:<18} {h:>2} {gm:>8.3f} {sm:>8.3f} {gm / sm:>6.1f}x")
+
     # -- §6.2 timing ladder: per-iteration rollout solve time vs horizon --
     print("\n== nonmyopic per-iteration solve seconds vs horizon "
           "(BASELINE §6.2 ladder; ours = steady-state median, first "
