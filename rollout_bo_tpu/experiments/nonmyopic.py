@@ -50,6 +50,13 @@ def parse_args(argv=None):
                         "log10(e)^0.5 ~ 0.659 instead of 1. The reference's "
                         "archived variance-reduction runs all carry this "
                         "quirk, so regret-parity runs should pass it")
+    p.add_argument("--solve-f-tol", type=float, default=0.0,
+                   help="IPNewton-style loose acceptance for the INNER "
+                        "(fantasy-step EI) solves: the reference applies "
+                        "Optim.Options(x_tol=f_tol=1e-3) to every inner "
+                        "solve (rbf_optim.jl:26-30), ours are tight by "
+                        "default; nonzero sets solve_f_tol=solve_x_tol on "
+                        "the rollout rule")
     p.add_argument("--deterministic-solve", action="store_true",
                    help="SAA/Gauss-Hermite solver instead of MC "
                         "(reference utils.jl:267-306)")
@@ -132,7 +139,10 @@ def main(argv=None):
             mle_every=1 if args.optimize else 10**9,
             use_low_discrepancy=args.variance_reduction,
             log10_parity=args.log10_parity,
-            rule=dr.EI(), x_init=x_init, mesh=mesh,
+            rule=(dr.DecisionRule("EI", 1e-8, args.solve_f_tol,
+                                  args.solve_f_tol)
+                  if args.solve_f_tol else dr.EI()),
+            x_init=x_init, mesh=mesh,
             deterministic=args.deterministic_solve, ghq_nodes=args.ghq_nodes,
             outer_solver=args.outer_solver, steps_per_call=args.steps_per_call,
             checkpoint_path=ckpt_path,

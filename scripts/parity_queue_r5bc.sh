@@ -21,7 +21,20 @@ NM () { # fn horizon trials timeout
   echo "$(date +%H:%M:%S) $FN h=$H x60 rc=$?"
 }
 NM gramacylee 0 60 1800
+NM gramacylee 3 60 2400
 NM ackley2d   0 60 1800
+# gramacylee h3 with the reference's loose INNER acceptance on the
+# rollout EI solves (rbf_optim.jl:26-30 applies f_tol=x_tol=1e-3 to
+# every inner solve; ours are tight by default) — exercises the round-5
+# loose Pallas lanes on the chip
+timeout 2400 $PY -m rollout_bo_tpu.experiments.nonmyopic \
+  --function-name gramacylee --horizon 3 --trials 30 --budget 15 \
+  --batch-size 8 --starts 8 --mc-samples 200 --sgd-iterations 50 \
+  --variance-reduction --log10-parity --solve-f-tol 1e-3 --optimize \
+  --dtype float32 --initial-observations 1 --checkpoint-every 5 \
+  --output-dir results/probe_loose \
+  > $LOGDIR/r5_loose_gramacylee_h3.log 2>&1
+echo "$(date +%H:%M:%S) loose gramacylee h3 rc=$?"
 touch $LOGDIR/R5B_TIMING_DONE
 
 # Mosaic f64 probe + loose-lane on-TPU A/B

