@@ -56,7 +56,8 @@ _INV_SQRT2PI = 0.3989422804014327
 _Z_CLAMP = 30.0               # must match decision_rules._Z_CLAMP
 _EPS = 1e-14                  # must match ops.kernels._EPS
 
-SUPPORTED_KINDS = ("matern52", "matern32", "matern12", "squared_exponential")
+SUPPORTED_KINDS = ("matern52", "matern32", "matern12",
+                   "squared_exponential", "periodic")
 SUPPORTED_RULES = ("EI", "POI", "LCB", "LogEI", "LogPOI")
 
 
@@ -72,9 +73,25 @@ def supported(kind: str, rule_name: str) -> bool:
 # --------------------------------------------------------------------------
 
 
-def _profile_terms(kind: str, rho, sq, ell):
+def _profile_terms(kind: str, rho, sq, ell, period=None):
     """Return (psi, a, b, iso) elementwise for rho = sqrt(sq) >= 0."""
     pos = rho > _EPS
+    if kind == "periodic":
+        # psi = exp(-2 sin^2(w rho) / ell^2), w = pi / period
+        # (ops/kernels.py::_psi_periodic; reference rbf.jl:98-103)
+        c1 = 2.0 / (ell * ell)
+        w = jnp.pi / period
+        u = w * rho
+        psi = jnp.exp(-c1 * jnp.sin(u) ** 2)
+        s2u = jnp.sin(2.0 * u)
+        dpsi = -c1 * w * s2u * psi
+        d2psi = (-2.0 * c1 * w * w * jnp.cos(2.0 * u)
+                 + c1 * c1 * w * w * s2u * s2u) * psi
+        safe = jnp.where(pos, rho, 1.0)
+        a = jnp.where(pos, dpsi / safe, 0.0)
+        b = jnp.where(pos, (d2psi - a) / (safe * safe), 0.0)
+        iso = jnp.where(pos, a, -2.0 * c1 * w * w)   # psi''(0)
+        return psi, a, b, iso
     if kind == "matern52":
         c = jnp.sqrt(5.0) / ell
         s = c * rho
@@ -399,12 +416,12 @@ def _chol_solve_lanes(A, g, d: int):
 # --------------------------------------------------------------------------
 
 
-def _posterior_mu_sigma(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
+def _posterior_mu_sigma(x, Xt, W, c, mask, kind, ell, k0, sigma_floor, period):
     """(mu, sigma) at x (d, B); all per-lane arrays lane-last."""
     R = x[:, None, :] - Xt                      # (d, cap, B)
     sq = jnp.sum(R * R, axis=0)                 # (cap, B)
     rho = jnp.sqrt(jnp.maximum(sq, 0.0))
-    psi, _, _, _ = _profile_terms(kind, rho, sq, ell)
+    psi, _, _, _ = _profile_terms(kind, rho, sq, ell, period)
     kx = psi * mask
     w = jnp.sum(W * kx[None, :, :], axis=1)     # (cap, B)
     mu = jnp.sum(kx * c, axis=0)                # (B,)
@@ -412,7 +429,7 @@ def _posterior_mu_sigma(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
     return mu, jnp.sqrt(var)
 
 
-def _posterior_full(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
+def _posterior_full(x, Xt, W, c, mask, kind, ell, k0, sigma_floor, period):
     """mu, grad_mu, hess_mu, sigma, grad_sigma, hess_sigma (lane-last).
 
     Mirrors models/surrogate.py::posterior with W = K^{-1} replacing the
@@ -422,7 +439,7 @@ def _posterior_full(x, Xt, W, c, mask, kind, ell, k0, sigma_floor):
     R = x[:, None, :] - Xt                      # (d, cap, B)
     sq = jnp.sum(R * R, axis=0)                 # (cap, B)
     rho = jnp.sqrt(jnp.maximum(sq, 0.0))
-    psi, a, b, iso = _profile_terms(kind, rho, sq, ell)
+    psi, a, b, iso = _profile_terms(kind, rho, sq, ell, period)
     kx = psi * mask                             # (cap, B)
     gkx = a[None, :, :] * R * mask[None, :, :]  # (d, cap, B)
 
@@ -480,6 +497,7 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
                xout_ref, vout_ref):
         ell = params_ref[0, 0]
         k0 = params_ref[0, 1]
+        period = params_ref[0, 2]
         Xt = Xt_ref[:]                          # (d, cap, B)
         W = W_ref[:]                            # (cap, cap, B)
         c = c_ref[:]                            # (cap, B)
@@ -499,12 +517,12 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
 
         def value(x):
             mu, sigma = _posterior_mu_sigma(
-                x, Xt, W, c, mask, kind, ell, k0, sigma_floor)
+                x, Xt, W, c, mask, kind, ell, k0, sigma_floor, period)
             return _rule_value(rule, mu, sigma, th, fmini, sigma_tol)
 
         def one_iteration(_, x):
             mu, gmu_v, Hmu, sigma, gsig_v, Hsig = _posterior_full(
-                x, Xt, W, c, mask, kind, ell, k0, sigma_floor)
+                x, Xt, W, c, mask, kind, ell, k0, sigma_floor, period)
             a0 = _rule_value(rule, mu, sigma, th, fmini, sigma_tol)
             gmu, gsig, gmumu, gsigsig, gmusig = _rule_partials(
                 rule, mu, sigma, th, fmini, sigma_tol)
@@ -637,6 +655,7 @@ def newton_solve_lanes(
     lbs,          # (d,)
     ubs,          # (d,)
     xstarts,      # (S, d)
+    period=1.0,   # () periodic-kernel period (ignored by other kinds)
     *,
     kind: str = "matern52",
     rule: str = "EI",
@@ -681,8 +700,9 @@ def newton_solve_lanes(
     bounds = jnp.zeros((3, d), ldt).at[0].set(lbs).at[1].set(ubs)
     bounds = bounds.at[2, 0].set(scale)
     k0 = _profile_terms(kind, jnp.zeros((), ldt), jnp.zeros((), ldt),
-                        jnp.asarray(ell, ldt))[0]
-    params = jnp.stack([jnp.asarray(ell, ldt), k0])[None, :]        # (1, 2)
+                        jnp.asarray(ell, ldt), jnp.asarray(period, ldt))[0]
+    params = jnp.stack([jnp.asarray(ell, ldt), k0,
+                        jnp.asarray(period, ldt)])[None, :]         # (1, 3)
 
     kernel = _make_kernel(d, cap, S, iterations, kind, rule,
                           sigma_tol, sigma_floor, ridge, f_tol, x_tol)
@@ -697,7 +717,7 @@ def newton_solve_lanes(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((S, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((3, d), lambda i: (0, 0), memory_space=pltpu.SMEM),
             lane_spec(d, cap, B),
@@ -760,10 +780,11 @@ def get_solver(kind: str, rule: str, iterations: int, interpret: bool = False,
     .solve_f_tol, reference rbf_optim.jl:26-30).
     """
 
-    def flat_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts):
+    def flat_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts,
+                  period):
         W = jnp.einsum("lji,ljk->lik", Li, Li)
         return newton_solve_lanes(
-            X, W, c, n, fmini, theta0, ell, lbs, ubs, xstarts,
+            X, W, c, n, fmini, theta0, ell, lbs, ubs, xstarts, period,
             kind=kind, rule=rule, iterations=iterations,
             f_tol=f_tol, x_tol=x_tol, interpret=interpret,
         )
@@ -772,40 +793,41 @@ def get_solver(kind: str, rule: str, iterations: int, interpret: bool = False,
 
     @solve_flat.def_vmap
     def _flat_rule(axis_size, in_batched, X, Li, c, n, fmini, theta0,
-                   ell, lbs, ubs, xstarts):
+                   ell, lbs, ubs, xstarts, period):
         lane = _broadcast_unbatched(
             axis_size, (X, Li, c, n, fmini, theta0), in_batched[:_LANE_ARGS])
         if any(in_batched[_LANE_ARGS:]):
             raise NotImplementedError(
-                "pallas solver: ell/lbs/ubs/xstarts must be shared across "
-                "the vmapped axis")
+                "pallas solver: ell/lbs/ubs/xstarts/period must be shared "
+                "across the vmapped axis")
         L = lane[0].shape[1]
         flat = [a.reshape((axis_size * L,) + a.shape[2:]) for a in lane]
-        xs, vs = solve_flat(*flat, ell, lbs, ubs, xstarts)
+        xs, vs = solve_flat(*flat, ell, lbs, ubs, xstarts, period)
         return (
             (xs.reshape(axis_size, L, xs.shape[-1]),
              vs.reshape(axis_size, L)),
             (True, True),
         )
 
-    def one_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts):
+    def one_impl(X, Li, c, n, fmini, theta0, ell, lbs, ubs, xstarts,
+                 period):
         xs, vs = solve_flat(
             X[None], Li[None], c[None], n[None], fmini[None], theta0[None],
-            ell, lbs, ubs, xstarts)
+            ell, lbs, ubs, xstarts, period)
         return xs[0], vs[0]
 
     solve_one = jax.custom_batching.custom_vmap(one_impl)
 
     @solve_one.def_vmap
     def _one_rule(axis_size, in_batched, X, Li, c, n, fmini, theta0,
-                  ell, lbs, ubs, xstarts):
+                  ell, lbs, ubs, xstarts, period):
         lane = _broadcast_unbatched(
             axis_size, (X, Li, c, n, fmini, theta0), in_batched[:_LANE_ARGS])
         if any(in_batched[_LANE_ARGS:]):
             raise NotImplementedError(
-                "pallas solver: ell/lbs/ubs/xstarts must be shared across "
-                "the vmapped axis")
-        xs, vs = solve_flat(*lane, ell, lbs, ubs, xstarts)
+                "pallas solver: ell/lbs/ubs/xstarts/period must be shared "
+                "across the vmapped axis")
+        xs, vs = solve_flat(*lane, ell, lbs, ubs, xstarts, period)
         return (xs, vs), (True, True)
 
     return solve_one

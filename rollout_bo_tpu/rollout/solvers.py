@@ -50,7 +50,8 @@ def pallas_enabled(state: sg.SurrogateState, rule: DecisionRule) -> bool:
         return False
     if state.X.dtype not in (jnp.float32, jnp.float64):
         return False
-    if state.kernel.theta.shape != (1,):
+    want_theta = (2,) if state.kernel.kind == "periodic" else (1,)
+    if state.kernel.theta.shape != want_theta:
         return False
     if _PALLAS_MODE in ("1", "interpret"):
         return True
@@ -283,13 +284,15 @@ def maximize_hot(
             x_tol=float(getattr(rule, "solve_x_tol", 0.0) or 0.0),
         )
         dt = state.X.dtype
+        kth = state.kernel.theta
+        period = kth[1] if state.kernel.kind == "periodic" else jnp.ones((), dt)
         return solve_one(
             state.X, state.Li, state.c, state.n,
             sg.get_active_minimum(state),
             jnp.asarray(theta, dt)[0],
-            state.kernel.theta[0],
+            kth[0],
             jnp.asarray(lbs, dt), jnp.asarray(ubs, dt),
-            jnp.asarray(xstarts, dt),
+            jnp.asarray(xstarts, dt), period,
         )
     res = multistart_maximize(
         state, rule, theta, lbs, ubs, xstarts, iterations=iterations)

@@ -20,6 +20,12 @@ NM () { # fn horizon trials timeout
     > "$LOGDIR/r5_nonmyopic_${FN}_h$H.x60.log" 2>&1
   echo "$(date +%H:%M:%S) $FN h=$H x60 rc=$?"
 }
+# requeue the six ladder cells lost to the transient custom_vmap
+# signature break (trid10d/styblinskitang4d h1-3 crashed on start;
+# their CSVs are empty, so resume reruns all 30 trials)
+for H in 1 2 3; do NM trid10d          $H 30 1800; done
+for H in 1 2 3; do NM styblinskitang4d $H 30 2400; done
+
 NM gramacylee 0 60 1800
 NM gramacylee 3 60 2400
 NM ackley2d   0 60 1800

@@ -269,14 +269,15 @@ def test_custom_vmap_nesting_flattens():
     lbsj, ubsj = jnp.asarray(lbs, f32), jnp.asarray(ubs, f32)
     th = jnp.zeros((), f32)
 
+    one = jnp.ones((), f32)
     flat = jax.vmap(
         lambda x, li, cc, n_, fm: solve_one(
-            x, li, cc, n_, fm, th, ell, lbsj, ubsj, xstarts)
+            x, li, cc, n_, fm, th, ell, lbsj, ubsj, xstarts, one)
     )(X, Li, c, nn, fmini)
 
     nested = jax.vmap(jax.vmap(
         lambda x, li, cc, n_, fm: solve_one(
-            x, li, cc, n_, fm, th, ell, lbsj, ubsj, xstarts)
+            x, li, cc, n_, fm, th, ell, lbsj, ubsj, xstarts, one)
     ))(X.reshape(L1, L2, *X.shape[1:]), Li.reshape(L1, L2, *Li.shape[1:]),
        c.reshape(L1, L2, -1), nn.reshape(L1, L2), fmini.reshape(L1, L2))
 
@@ -442,3 +443,56 @@ def test_maximize_hot_pallas_f64_loose_route():
     np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_pallas_periodic_kernel_matches_xla():
+    """Periodic-kernel lanes (theta = (lengthscale, period)) vs the XLA
+    solver — closes the last kernel-family coverage hole."""
+    L, n, d, cap, S = 4, 7, 2, 12, 4
+    rng = np.random.default_rng(17)
+    # period 3.0 > the domain diagonal (2*sqrt(2)): no aliasing, so the
+    # f32 kernel matrix stays well-conditioned (period < domain width
+    # makes points a full period apart perfectly correlated -> singular K)
+    kern = K.periodic((0.9, 3.0))
+    states = []
+    for _ in range(L):
+        Xs = rng.uniform(-1.0, 1.0, (n, d))
+        ys = np.sin(2.0 * Xs.sum(axis=1)) + 0.2 * rng.standard_normal(n)
+        states.append(sg.fit(kern, Xs, ys, capacity=cap, noise=1e-4,
+                             dtype=f32))
+    X, W, c, nn, fmini = _pack(states)
+    lbs, ubs = np.full(d, -1.0), np.full(d, 1.0)
+    xstarts = qmc.generate_initial_guesses(S - 2, lbs, ubs).astype(np.float32)
+    rule = dr.EI()
+    theta = jnp.zeros((1,), f32)
+
+    xs_p, vs_p = pn.newton_solve_lanes(
+        X, W, c, nn, fmini, jnp.zeros((L,), f32),
+        states[0].kernel.theta[0], lbs, ubs, xstarts,
+        states[0].kernel.theta[1],
+        kind="periodic", rule="EI", iterations=8, interpret=True,
+    )
+    for i, st in enumerate(states):
+        xs, vals = solvers.newton_solve_batch(
+            st, rule, theta, lbs, ubs, xstarts, iterations=8)
+        vbest = float(jnp.max(vals))
+        v_cross = float(sg.acquisition(st, rule, xs_p[i], theta))
+        np.testing.assert_allclose(float(vs_p[i]), v_cross,
+                                   rtol=2e-3, atol=1e-5)
+        assert v_cross >= vbest - 1e-3 * max(1.0, abs(vbest))
+
+
+def test_pallas_enabled_periodic_theta_shape():
+    """pallas_enabled accepts periodic states (theta (2,)) and still
+    rejects mismatched hyperparameter shapes."""
+    rng = np.random.default_rng(3)
+    Xs = rng.uniform(-1.0, 1.0, (5, 2))
+    ys = rng.standard_normal(5)
+    st_p = sg.fit(K.periodic((0.9, 3.0)), Xs, ys, capacity=8, noise=1e-4,
+                  dtype=f32)
+    old = solvers._PALLAS_MODE
+    try:
+        solvers._PALLAS_MODE = "interpret"
+        assert solvers.pallas_enabled(st_p, dr.EI())
+    finally:
+        solvers._PALLAS_MODE = old
