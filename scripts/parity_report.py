@@ -229,6 +229,16 @@ def main(argv=None):
         for h in range(4):
             ours = final_gaps(os.path.join(REPO, "results/nonmyopic", fn,
                                            f"rollout_h{h}_gaps.csv"))
+            srcflag = ""
+            if ours is None or len(ours) < 10:
+                # cell not (fully) rerun under --log10-parity this round:
+                # fall back to the archived round-4 flag-off data so the
+                # ladder stays complete, and say so in the row
+                old = final_gaps(os.path.join(
+                    REPO, "results/nonmyopic_noflag", fn,
+                    f"rollout_h{h}_gaps.csv"))
+                if old is not None and (ours is None or len(old) > len(ours)):
+                    ours, srcflag = old, "  [r4 flag-off data]"
             ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"),
                              ref_archived=True)
             if ours is None or ref is None:
@@ -243,7 +253,8 @@ def main(argv=None):
                              False)
             any_bad = any_bad or bad
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}"
+                  f"{srcflag}")
 
     # -- h=4 vs the data-for-various-horizons-backup archive (its
     #    protocol: 50 MC samples, NO variance reduction, 1 initial obs) --
@@ -336,6 +347,13 @@ def main(argv=None):
         for h in range(4):
             ours = final_gaps(os.path.join(REPO, "results/nonmyopic_ghq", fn,
                                            f"rollout_h{h}_gaps.csv"))
+            srcflag = ""
+            if ours is None or len(ours) < 10:
+                old = final_gaps(os.path.join(
+                    REPO, "results/nonmyopic_ghq_noflag", fn,
+                    f"rollout_h{h}_gaps.csv"))
+                if old is not None and (ours is None or len(old) > len(ours)):
+                    ours, srcflag = old, "  [r4 flag-off data]"
             ref = final_gaps(os.path.join(arch, fn, f"rollout_h{h}_gaps.csv"),
                              ref_archived=True)
             if ours is None or ref is None:
@@ -350,7 +368,8 @@ def main(argv=None):
             flag, bad = gap_flag(ours, ref)
             any_bad = any_bad or bad
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}"
+                  f"{srcflag}")
 
     # -- GHQ (SAA/deterministic) vs stochastic cost profile: the
     #    reference never recorded SAA timings (utils.jl:267-306); this
@@ -391,6 +410,13 @@ def main(argv=None):
             ours_t = iter_times(
                 os.path.join(REPO, "results/nonmyopic", fn,
                              f"rollout_h{h}_times.csv"), drop_compile=True)
+            if ours_t is None:
+                # cell not yet rerun under --log10-parity (same chip +
+                # program either way: timing is flag-independent)
+                ours_t = iter_times(
+                    os.path.join(REPO, "results/nonmyopic_noflag", fn,
+                                 f"rollout_h{h}_times.csv"),
+                    drop_compile=True)
             ref_t = iter_times(os.path.join(arch, fn, f"rollout_h{h}_times.csv"),
                                ref_archived=True)
             if ours_t is None or ref_t is None:
