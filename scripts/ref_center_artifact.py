@@ -133,6 +133,50 @@ def main(argv=None):
           f"(every trial >> 1 => the archived selection is not an "
           f"acquisition argmax)")
 
+    print("\n== 4. gramacylee h=3 residual decomposition: final gap "
+          "conditioned on an early left-boundary probe ==")
+    # f(0.5) = 0.0625 exactly identifies a left-boundary observation;
+    # the optimum x*=0.5486 sits 0.048 inside that boundary in a narrow
+    # (~0.1-wide) sine basin. A trial that spends an early sample at the
+    # boundary lowers fmini to 0.0625 and flattens EI near the basin.
+    FB = 0.0625
+    from parity_report import final_gaps  # noqa: E402 (same scripts/ dir)
+
+    def probe_mask(ys_rows, k=4, tol=1e-3):
+        return np.array([np.any(np.abs(r[1:1 + k] - FB) < tol)
+                         for r in ys_rows])
+
+    ref_tr3 = ref_trials(os.path.join(args.ref, ARCH, "gramacylee",
+                                      "rollout_h3_observations.csv"), 1)
+    ref_ys = np.stack([y for _, y in ref_tr3])
+    ref_g = final_gaps(os.path.join(args.ref, ARCH, "gramacylee",
+                                    "rollout_h3_gaps.csv"), ref_archived=True)
+    ours_p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results/nonmyopic/gramacylee")
+    rows = []
+    for r in csv.reader(open(os.path.join(ours_p,
+                                          "rollout_h3_observations.csv"))):
+        try:
+            v = [float(x) for x in r if x != ""]
+        except ValueError:
+            continue
+        if not v or all(x == -1.0 for x in v):
+            continue
+        rows.append(np.asarray(v))
+    ours_ys = np.stack(rows)
+    ours_g = final_gaps(os.path.join(ours_p, "rollout_h3_gaps.csv"))
+    for name, ys, g in (("ref", ref_ys, ref_g), ("ours", ours_ys, ours_g)):
+        m = probe_mask(ys)
+        pm = g[m].mean() if m.any() else float("nan")
+        nm_ = g[~m].mean() if (~m).any() else float("nan")
+        print(f"{name:<5} n={len(g)}  early-boundary-probe trials "
+              f"{int(m.sum()):>2}  gap|probe {pm:.3f}  gap|noprobe {nm_:.3f}"
+              f"  overall {g.mean():.3f}")
+    print("(ours probes the boundary 4x as often and those trials end "
+          "~0.13 lower: the residual h3 deficit is an exploration-"
+          "allocation difference concentrated in boundary-probed trials, "
+          "not a uniform acquisition-quality gap)")
+
 
 if __name__ == "__main__":
     main()
