@@ -600,15 +600,22 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
             # lane freezes once its relative value improvement or step norm
             # drops below tolerance (solvers.py loose branch). Frozen lanes
             # keep recomputing the same point — lock-step SPMD, identical
-            # results to the per-lane early exit.
-            x, frozen = carry
+            # results to the per-lane early exit. The mask is carried in
+            # the value dtype, not bool: Mosaic fails to legalize an i1
+            # vector as an scf.for carry on real chips (measured round 5,
+            # results/logs/r5_loose_gramacylee_h3.log), while interpret
+            # mode accepts it.
+            x, frozen_f = carry
+            frozen = frozen_f > 0.5
             xn_cand, a0, vbest = one_iteration(None, x)
             improvement = jnp.maximum(vbest - a0, 0.0)
             small_f = improvement <= f_tol * (jnp.abs(a0) + f_tol)
             dx = xn_cand - x
             small_x = jnp.sqrt(jnp.sum(dx * dx, axis=0)) <= x_tol
             xn = jnp.where(frozen[None, :], x, xn_cand)
-            return xn, frozen | small_f | small_x
+            new_frozen = frozen | small_f | small_x
+            return xn, jnp.where(new_frozen, jnp.asarray(1.0, dt),
+                                 jnp.asarray(0.0, dt))
 
         def one_start(s_idx, carry):
             best_v, best_x = carry
@@ -620,7 +627,7 @@ def _make_kernel(d: int, cap: int, S: int, iterations: int, kind: str,
             if loose:
                 xf, _ = jax.lax.fori_loop(
                     0, iterations, iter_body_loose,
-                    (x0, jnp.zeros((B,), bool)))
+                    (x0, jnp.zeros((B,), dt)))
             else:
                 xf = jax.lax.fori_loop(0, iterations, iter_body, x0)
             vf = value(xf)

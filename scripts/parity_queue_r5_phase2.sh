@@ -29,6 +29,17 @@ TRUNC () { # schedule outdir
   echo "$(date +%H:%M:%S) $SCHED braninhoo rc=$?" >> $LOGDIR/R5_QUEUE_STATUS
 }
 
+# loose-acceptance h3 retry with the f32-mask freeze carry (the i1
+# carry failed Mosaic legalization on the first attempt)
+timeout 1200 $PY -m rollout_bo_tpu.experiments.nonmyopic \
+  --function-name gramacylee --horizon 3 --trials 30 --budget 15 \
+  --batch-size 8 --starts 8 --mc-samples 200 --sgd-iterations 50 \
+  --variance-reduction --log10-parity --solve-f-tol 1e-3 --optimize \
+  --dtype float32 --initial-observations 1 --checkpoint-every 5 \
+  --output-dir results/probe_loose \
+  > $LOGDIR/r5_loose_gramacylee_h3_retry.log 2>&1
+echo "$(date +%H:%M:%S) loose gramacylee h3 retry rc=$?" >> $LOGDIR/R5_QUEUE_STATUS
+
 BK braninhoo 1 20 1200
 TRUNC truncated results/truncated
 TRUNC fixed results/no_truncated
