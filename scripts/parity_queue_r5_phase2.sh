@@ -44,8 +44,8 @@ BK braninhoo 1 20 1200
 TRUNC truncated results/truncated
 TRUNC fixed results/no_truncated
 
-timeout 1500 $PY -m rollout_bo_tpu.experiments.cost_aware \
-  --function-name braninhoo --trials 15 --budget 15 --horizon 1 \
+timeout 900 $PY -m rollout_bo_tpu.experiments.cost_aware \
+  --function-name braninhoo --trials 10 --budget 15 --horizon 1 \
   --mc-samples 100 --starts 8 --batch-size 8 --sgd-iterations 50 \
   --optimize --variance-reduction --log10-parity --checkpoint-every 5 \
   --output-dir results/cost_aware > $LOGDIR/r5_cost_aware.log 2>&1
