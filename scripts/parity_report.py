@@ -376,17 +376,27 @@ def main(argv=None):
             if ours is None or ref is None:
                 continue
             if not header_done:
-                print("\n== GHQ/deterministic solve final gap (ours) vs "
-                      "reference STOCHASTIC archive ==")
+                print("\n== GHQ/deterministic solve final gap (ours) — "
+                      "INFORMATIONAL: the reference's SAA mode is "
+                      "unrunnable (deterministic_solve calls undefined "
+                      "simulate names, SURVEY §0) and has NO archived "
+                      "regret; its stochastic archive and our own "
+                      "stochastic cell are shown for scale ==")
                 print(f"{'function':<18} {'h':>2} {'ours':>7} {'n':>3} "
-                      f"{'ref':>7} {'n':>3} {'|z|':>6}")
+                      f"{'ref-sto':>7} {'n':>3} {'|z|':>6} {'ours-sto':>9}")
                 header_done = True
             z = z_distance(ours, ref)
-            flag, bad = gap_flag(ours, ref)
-            any_bad = any_bad or bad
+            own = final_gaps(os.path.join(REPO, "results/nonmyopic", fn,
+                                          f"rollout_h{h}_gaps.csv"))
+            zo = z_distance(ours, own) if own is not None else float("nan")
+            own_txt = (f"{own.mean():>6.3f}" if own is not None else "     —")
+            mode_flag = ""
+            if own is not None and zo >= 2.0:
+                mode_flag = "  <-- GHQ mode diverges from our stochastic"
+                any_bad = True
             print(f"{fn:<18} {h:>2} {ours.mean():>7.3f} {len(ours):>3} "
-                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)}{flag}"
-                  f"{srcflag}")
+                  f"{ref.mean():>7.3f} {len(ref):>3} {z_text(z)} {own_txt}"
+                  f"{srcflag}{mode_flag}")
 
     # -- GHQ (SAA/deterministic) vs stochastic cost profile: the
     #    reference never recorded SAA timings (utils.jl:267-306); this
