@@ -47,7 +47,8 @@ def main(argv=None):
         for mode, g, c in rows_out:
             if mode != "uniform":
                 print(f"{mode}: {100 * (base_cost - c) / base_cost:+.1f}% "
-                      f"cumulative cost vs cost-blind baseline")
+                      f"cumulative-cost SAVINGS vs the cost-blind "
+                      f"uniform baseline")
 
 
 if __name__ == "__main__":
